@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship batch index build (SURVEY.md §3.1) on
+sf0.001; ``queries()``/``oracle_sql()`` expose the operator suite from
+SURVEY.md §2 with DuckDB oracles (see webindex_spark/plans/crawl_queries.py
+for the derivation and the column-aliasing/determinism rules).
 """
 
 from __future__ import annotations
@@ -13,26 +12,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from webindex_spark.plans.crawl_queries import QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: derive the link graph,
+    build the full rank index, return the sorted KV rows (driver checks
+    rows > 0 and schema stability)."""
+    from webindex_spark.plans import crawl_queries as cq
+    from webindex_spark.operators import index_batch
+
+    sf_dir = "/root/testdata/sf0.001"
+    uri_counts = cq.uri_counts_df(spark, sf_dir)
+    domain_counts = index_batch.create_domain_map(uri_counts)
+    enc = uri_counts
+    import pyspark.sql.functions as F
+
+    from webindex_spark.functions.spark_udfs import rev_encode, uri_rev_domain_col
+
+    rank_rows = enc.select(
+        F.concat(
+            F.lit("d:"),
+            uri_rev_domain_col("uri"),
+            F.lit(":"),
+            rev_encode(F.col("links_to")),
+            F.lit(":"),
+            F.col("uri"),
+        ).alias("row"),
+        F.lit("rank").alias("cf"),
+        F.lit("").alias("cq"),
+        F.col("links_to").cast("string").alias("v"),
+    )
+    domain_rows = domain_counts.select(
+        F.concat(F.lit("d:"), F.col("rev_domain")).alias("row"),
+        F.lit("domain").alias("cf"),
+        F.lit("pagecount").alias("cq"),
+        F.col("pagecount").cast("string").alias("v"),
+    )
+    return rank_rows.unionByName(domain_rows).orderBy("row", "cf", "cq")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

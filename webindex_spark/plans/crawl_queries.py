@@ -1,0 +1,583 @@
+"""Driver correctness-gate queries (SURVEY.md §2 inventory → runnable pairs).
+
+Each entry is a (Spark callable, DuckDB oracle SQL) pair over the
+driver-provided parquet tables (TESTDATA.md: region nation customer
+supplier part orders lineitem events documents embeddings).
+
+The crawl-engine operators run over a deterministic *link graph derived
+from the TPC-H-ish tables in pure relational form*, so the DuckDB oracle
+can recompute the same answer in ANSI SQL:
+
+  * every ``orders`` row is a crawled page with canonical URI
+    ``com.h<o_custkey%50>>>o>/o/<o_orderkey>`` (host ``h<k>.com``);
+  * its outbound links are its ``lineitem`` rows, pointing at
+    ``com.p<l_partkey%100>>>o>/p/<l_partkey>`` (host ``p<k>.com``) —
+    distinct per (src, dst) like the reference's TreeSet<Link>
+    (Page.java:39-41), and always external-domain (ArchiveUtil.java:84
+    holds by construction since ``h*`` and ``p*`` domains are disjoint).
+
+The URL-codec semantics themselves (PSL, ports, lexicoder bytes, Gson
+JSON) are validated separately against the reference's own golden vectors
+in tests/ — here the gate exercises the *relational* semantics: the
+aggregation monoid, link inversion, ranking, politeness windows, seen-set
+anti-joins, and snapshot merges, plus the training-data operators over
+``documents``/``embeddings``.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver hashes values under sorted
+column names).  Every numeric output is cast to BIGINT/DOUBLE explicitly
+on both sides (DuckDB's SUM would otherwise return HUGEINT/INT128).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from webindex_spark.operators import index_batch
+
+# ---------------------------------------------------------------------------
+# shared derivation
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _src_uri_col() -> F.Column:
+    return F.concat(
+        F.lit("com.h"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(">>o>/o/"),
+        F.col("o_orderkey").cast("string"),
+    )
+
+
+def _dst_uri_col() -> F.Column:
+    return F.concat(
+        F.lit("com.p"),
+        (F.col("l_partkey") % 100).cast("string"),
+        F.lit(">>o>/p/"),
+        F.col("l_partkey").cast("string"),
+    )
+
+
+def page_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(_src_uri_col().alias("uri"))
+
+
+def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src_uri, dst_uri) link edges — the exploded form of the
+    pages' outbound_links arrays.  The orders⋈lineitem join is a plain
+    shuffle join on the fact keys; at scale both sides are co-partitioned
+    by orderkey (bucketed layout), so this is the cheap path compared to
+    materializing pages arrays first."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(_src_uri_col().alias("src_uri"), _dst_uri_col().alias("dst_uri"))
+        .distinct()
+    )
+
+
+_SQL_PAGES = (
+    "SELECT 'com.h' || CAST(o_custkey % 50 AS VARCHAR) || '>>o>/o/' || "
+    "CAST(o_orderkey AS VARCHAR) AS uri FROM orders"
+)
+_SQL_EDGES = (
+    "SELECT DISTINCT "
+    "'com.h' || CAST(o_custkey % 50 AS VARCHAR) || '>>o>/o/' || CAST(o_orderkey AS VARCHAR) AS src_uri, "
+    "'com.p' || CAST(l_partkey % 100 AS VARCHAR) || '>>o>/p/' || CAST(l_partkey AS VARCHAR) AS dst_uri "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+)
+_SQL_URI_COUNTS = (
+    "SELECT uri, CAST(SUM(links_to) AS BIGINT) AS links_to, "
+    "CAST(SUM(docs) AS BIGINT) AS docs FROM ("
+    f"SELECT uri, 0 AS links_to, 1 AS docs FROM ({_SQL_PAGES}) "
+    f"UNION ALL SELECT dst_uri AS uri, 1 AS links_to, 0 AS docs FROM ({_SQL_EDGES})"
+    ") u GROUP BY uri"
+)
+
+
+def uri_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the UriInfo monoid over the derived link graph, via the same
+    engine code path the golden test locks (index_batch.create_uri_map
+    semantics, edge-table form)."""
+    own = page_uris(spark, sf_dir).select(
+        "uri", F.lit(0).cast("long").alias("links_to"), F.lit(1).cast("long").alias("docs")
+    )
+    lnk = link_edges(spark, sf_dir).select(
+        F.col("dst_uri").alias("uri"),
+        F.lit(1).cast("long").alias("links_to"),
+        F.lit(0).cast("long").alias("docs"),
+    )
+    return (
+        own.unionByName(lnk)
+        .groupBy("uri")
+        .agg(F.sum("links_to").alias("links_to"), F.sum("docs").alias("docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the query suite
+
+
+def q_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uri_counts_df(spark, sf_dir)
+
+
+SQL_URI_COUNTS = _SQL_URI_COUNTS
+
+
+def q_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct-URI count per reverse domain (IndexUtil.java:93-102)."""
+    return index_batch.create_domain_map(uri_counts_df(spark, sf_dir))
+
+
+SQL_DOMAIN_COUNTS = (
+    f"SELECT split_part(uri, '>', 1) AS rev_domain, CAST(COUNT(*) AS BIGINT) AS pagecount "
+    f"FROM ({_SQL_URI_COUNTS}) uc GROUP BY 1"
+)
+
+
+def q_inlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/U2: link inversion — the inlinks edge table (IndexUtil.java:125-128)."""
+    return link_edges(spark, sf_dir).select(
+        F.col("dst_uri"), F.col("src_uri")
+    )
+
+
+SQL_INLINKS = f"SELECT dst_uri, src_uri FROM ({_SQL_EDGES}) e"
+
+
+def q_top_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (IndexClient.getTopResults:69-95): global top-25 by inbound count.
+    Catalyst plans this as TakeOrderedAndProject — no global sort."""
+    return (
+        uri_counts_df(spark, sf_dir)
+        .orderBy(F.desc("links_to"), F.asc("uri"))
+        .limit(25)
+    )
+
+
+SQL_TOP_PAGES = f"SELECT * FROM ({_SQL_URI_COUNTS}) uc ORDER BY links_to DESC, uri ASC LIMIT 25"
+
+
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (IndexClient.getPages:159-188): per-domain URIs ranked by inbound
+    count — the window-function restatement of the reference's
+    revEncodeLong key trick (SURVEY.md §2.5)."""
+    uc = uri_counts_df(spark, sf_dir).withColumn(
+        "rev_domain", F.split_part(F.col("uri"), F.lit(">"), F.lit(1))
+    )
+    w = Window.partitionBy("rev_domain").orderBy(F.desc("links_to"), F.asc("uri"))
+    return (
+        uc.withColumn("rank_in_domain", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_domain") <= 5)
+        .select("rev_domain", "uri", "links_to", "rank_in_domain")
+    )
+
+
+SQL_DOMAIN_RANK = (
+    "SELECT rev_domain, uri, links_to, rank_in_domain FROM ("
+    "SELECT split_part(uri, '>', 1) AS rev_domain, uri, links_to, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY split_part(uri, '>', 1) "
+    "ORDER BY links_to DESC, uri ASC) AS BIGINT) AS rank_in_domain "
+    f"FROM ({_SQL_URI_COUNTS}) uc) r WHERE rank_in_domain <= 5"
+)
+
+
+def q_frontier_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact tier of the URL-seen set (SURVEY.md §2.3): candidate URIs
+    (link targets) LEFT ANTI JOIN already-crawled pages. In the full engine
+    the partitioned Bloom pre-filter cheapens this; the anti-join is the
+    correctness contract."""
+    candidates = link_edges(spark, sf_dir).select(F.col("dst_uri").alias("uri")).distinct()
+    seen = page_uris(spark, sf_dir)
+    return candidates.join(seen, "uri", "left_anti")
+
+
+SQL_FRONTIER_UNSEEN = (
+    f"SELECT DISTINCT dst_uri AS uri FROM ({_SQL_EDGES}) e "
+    f"WHERE dst_uri NOT IN (SELECT uri FROM ({_SQL_PAGES}) p)"
+)
+
+
+def q_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 politeness scheduling as a ranking window: one fetch slot per
+    host per tick, priority-ordered, ties broken by uri — the deterministic
+    crawl ordering the north rule requires (order decided by data, never by
+    partition/task arrival)."""
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
+        F.col("value").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("uri"))
+    return frontier.select(
+        "host",
+        "uri",
+        (F.row_number().over(w).cast("long") - 1).alias("tick"),
+    )
+
+
+SQL_SCHEDULE = (
+    "SELECT host, uri, CAST(ROW_NUMBER() OVER (PARTITION BY host "
+    "ORDER BY priority DESC, uri ASC) AS BIGINT) - 1 AS tick FROM ("
+    "SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host, "
+    "'e' || CAST(event_id AS VARCHAR) AS uri, value AS priority FROM events) f"
+)
+
+
+def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 incremental combine as a batch merge: a 'state' snapshot (orders
+    before the median date) FULL OUTER JOIN a 'delta' batch (the rest),
+    summing the UriInfo-like counters with ZERO identities — the Spark
+    restatement of UriCombineQ (UriCombineQ.java:59-81)."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = "1995-01-01"
+    base = orders.select(
+        _src_uri_col().alias("uri"),
+        F.when(F.col("o_orderdate") < F.lit(cut), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("old"),
+        F.when(F.col("o_orderdate") >= F.lit(cut), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("new"),
+    )
+    state = base.groupBy("uri").agg(F.sum("old").alias("docs")).where(F.col("docs") > 0)
+    delta = base.groupBy("uri").agg(F.sum("new").alias("d_docs")).where(F.col("d_docs") > 0)
+    merged = state.join(delta, "uri", "full_outer").select(
+        "uri",
+        (F.coalesce(F.col("docs"), F.lit(0)) + F.coalesce(F.col("d_docs"), F.lit(0)))
+        .cast("long")
+        .alias("docs"),
+    )
+    return merged.where(F.col("docs") != 0)
+
+
+SQL_DELTA_MERGE = (
+    "WITH base AS (SELECT 'com.h' || CAST(o_custkey % 50 AS VARCHAR) || '>>o>/o/' || "
+    "CAST(o_orderkey AS VARCHAR) AS uri, "
+    "CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS old, "
+    "CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS new FROM orders), "
+    "state AS (SELECT uri, CAST(SUM(old) AS BIGINT) AS docs FROM base GROUP BY uri HAVING SUM(old) > 0), "
+    "delta AS (SELECT uri, CAST(SUM(new) AS BIGINT) AS d_docs FROM base GROUP BY uri HAVING SUM(new) > 0) "
+    "SELECT COALESCE(state.uri, delta.uri) AS uri, "
+    "CAST(COALESCE(docs, 0) + COALESCE(d_docs, 0) AS BIGINT) AS docs "
+    "FROM state FULL OUTER JOIN delta ON state.uri = delta.uri "
+    "WHERE COALESCE(docs, 0) + COALESCE(d_docs, 0) != 0"
+)
+
+
+# ------------------------------------------------------------------ TPC-H-ish
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate with partial (map-side) combine.
+
+    Money columns are summed in exact integer cents (prices/discounts/taxes
+    have 2 decimals) so the result is bit-identical regardless of partition
+    merge order — double summation order differs between Spark partitions
+    and the sequential DuckDB oracle, and the driver hashes raw values.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0).alias("sum_charge"),
+            (F.sum(qty) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price_c) / 100.0 / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc_c) / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_base_price, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_disc_price, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS sum_charge, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price, "
+    "CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc, "
+    "CAST(COUNT(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + agg + top-k; the customer dim side
+    is broadcast (explicitly hinted — at 100 TB the fact side never
+    shuffles for a dim this small)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)
+                .select("o_orderkey", "o_orderdate")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg((F.sum(rev_c) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_REV_CENTS = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+SQL_TOP_REVENUE_ORDERS = (
+    f"SELECT o_orderkey, CAST(SUM({_SQL_REV_CENTS}) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+)
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join over broadcastable dims + rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    rev_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(rev_c) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_VOLUME = (
+    f"SELECT r_name, n_name, "
+    f"CAST(SUM({_SQL_REV_CENTS}) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue, "
+    "CAST(COUNT(*) AS BIGINT) AS n_items "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name, n_name"
+)
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streams-table rollup: per event_type per day counts + value sums
+    (the batch analog of a windowed streaming agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # integer-scaled sum: bit-identical across partition merge orders
+        (F.sum(F.round(F.col("value") * 1000).cast("long")) / 1000.0).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENT_ROLLUP = (
+    "SELECT event_type, date_trunc('day', ts) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / CAST(1000 AS DOUBLE) AS sum_value, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+# ------------------------------------------------------- training-data ops
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: content-hash groups with representative
+    selection (min doc_id) — the hash-groupBy tier of the dedup stack."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1"
+)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char stats per document (whitespace tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.length("text") / F.size(toks)).cast("double").alias("chars_per_token"),
+    )
+
+
+SQL_TOKEN_STATS = (
+    "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+    "CAST(length(text) AS BIGINT) AS n_chars_actual, "
+    "CAST(length(text) / len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS chars_per_token "
+    "FROM documents"
+)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality heuristics: alpha ratio, digit ratio, mean word length —
+    the deterministic core of a quality-filter stage."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(text, "[^ ]", ""))
+    return docs.select(
+        "doc_id",
+        (alpha / n).cast("double").alias("alpha_ratio"),
+        (digits / n).cast("double").alias("digit_ratio"),
+        ((n - spaces) / (spaces + 1)).cast("double").alias("mean_word_len"),
+    )
+
+
+SQL_QUALITY_SCORE = (
+    "SELECT doc_id, "
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio, "
+    "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio, "
+    "CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / "
+    "(length(regexp_replace(text, '[^ ]', '', 'g')) + 1) AS mean_word_len "
+    "FROM documents"
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language scoring: fraction of tokens in a small
+    English stopword list (deterministic n-gram-free heuristic)."""
+    docs = _t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "a", "in", "is", "it"]])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hits = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.cast("long").alias("stopword_kinds"),
+        (hits >= 3).alias("looks_english"),
+    )
+
+
+SQL_LANG_ID = (
+    "SELECT doc_id, lang, CAST(len(list_intersect(list_distinct("
+    "regexp_split_to_array(lower(trim(text)), '\\s+')), "
+    "['the','and','of','to','a','in','is','it'])) AS BIGINT) AS stopword_kinds, "
+    "len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), "
+    "['the','and','of','to','a','in','is','it'])) >= 3 AS looks_english "
+    "FROM documents"
+)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of the min-id vector, computed
+    with higher-order functions (zip_with + aggregate) — fully JVM-side,
+    no UDF.  The scale path (LSH-bucketed) lives in operators.simsearch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = emb.crossJoin(F.broadcast(qvec)).where(F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform("q_emb", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        j.select(
+            "vec_id",
+            F.round(dot / (norm_a * norm_b), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_KNN_COSINE = (
+    "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1) "
+    "SELECT vec_id, ROUND(list_dot_product("
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q_emb, x -> CAST(x AS DOUBLE))) / "
+    "(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)))) * "
+    "sqrt(list_dot_product(list_transform(q_emb, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q_emb, x -> CAST(x AS DOUBLE))))), 6) AS cosine "
+    "FROM embeddings, q WHERE vec_id != q_id "
+    "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+)
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {
+    "uri_counts": (q_uri_counts, SQL_URI_COUNTS),
+    "domain_counts": (q_domain_counts, SQL_DOMAIN_COUNTS),
+    "inlinks": (q_inlinks, SQL_INLINKS),
+    "top_pages": (q_top_pages, SQL_TOP_PAGES),
+    "domain_rank": (q_domain_rank, SQL_DOMAIN_RANK),
+    "frontier_unseen": (q_frontier_unseen, SQL_FRONTIER_UNSEEN),
+    "schedule": (q_schedule, SQL_SCHEDULE),
+    "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "nation_volume": (q_nation_volume, SQL_NATION_VOLUME),
+    "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+}
