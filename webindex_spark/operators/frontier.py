@@ -1,0 +1,393 @@
+"""URL frontier + fetch scheduler — the north-rule core loop.
+
+One crawl **epoch** is one deterministic batch job over snapshot state
+(the Spark restatement of the reference's Fluo observer cascade,
+SURVEY.md §3.2): frontier -> robots gate -> politeness schedule -> fetch
+(join content + image tables) -> link extraction -> seen-set insert ->
+frontier update -> index-state merge, every table committed as a snapshot
+with epoch + lineage + per-partition metrics in the manifest.
+
+Determinism: crawl order is a pure function of data — (priority DESC,
+uri ASC) within hosts, budget per host per epoch, ticks spaced by
+crawl_delay — so local[1], local[32], and a 1000-executor cluster produce
+the SAME fetch log and the SAME seen set (asserted in tests against a pure
+python model).  Nothing reads wall-clock or partition/task identity.
+
+Resume: ``run_crawl`` consults each table's committed epoch before running
+an epoch job and reads its *inputs* from the epoch-(e-1) snapshots, so a
+run killed between the 8 per-epoch commits re-runs only the interrupted
+epoch (same inputs => same outputs, commits of already-done tables are
+skipped) and never refetches completed epochs.  That is the Iceberg-
+snapshot checkpoint contract of BASELINE.json, on the snapshots seam.
+
+Metric names follow the reference's ten Grafana meters
+(PageObserver.java:66-68, UriCombineQ.java:54-55, DomainCombineQ.java:42-43,
+IndexUpdateTranslator.java:41-43), recorded per data-partition (pid =
+xxhash64(uri) % n, a physical-layout-independent partition id).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from webindex_spark.functions.spark_udfs import parse_url
+from webindex_spark.operators import politeness, robots as robots_ops, seen as seen_ops
+from webindex_spark.sources.snapshots import Catalog
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("discovered_epoch", T.LongType(), False),
+        T.StructField("is_image", T.BooleanType(), False),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType([T.StructField("uri", T.StringType(), False)])
+
+FETCH_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("slot", T.LongType(), False),
+        T.StructField("tick", T.DoubleType(), False),
+        T.StructField("is_image", T.BooleanType(), False),
+    ]
+)
+
+URI_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("links_to", T.LongType(), False),
+        T.StructField("docs", T.LongType(), False),
+    ]
+)
+
+METER_NAMES = [
+    "webindex_pages_ingested",
+    "webindex_links_ingested",
+    "webindex_pages_changed",
+    "webindex_links_new",
+    "webindex_links_changed",
+    "webindex_domains_new",
+    "webindex_domains_changed",
+    "webindex_pages_exported",
+    "webindex_links_exported",
+    "webindex_domains_exported",
+]
+
+TABLES = [
+    "frontier", "seen", "bloom", "fetch_log", "pages_state",
+    "fetched_images", "uri_counts", "domain_counts",
+]
+
+
+@dataclass
+class CrawlConfig:
+    budget: int = 5                # fetches per host per epoch
+    priority_decay: float = 0.5    # child priority = parent * decay (max over parents)
+    n_salts: int = 8               # politeness skew salting
+    bloom_expected_n: int = 100_000
+    bloom_fpp: float = 0.01
+    bloom_partitions: int = 16
+    metric_partitions: int = 16    # per-partition metric granularity
+    bloom: tuple = field(init=False)
+
+    def __post_init__(self):
+        self.bloom = seen_ops.bloom_params(
+            self.bloom_expected_n, self.bloom_fpp, self.bloom_partitions
+        )
+
+
+def canonicalize(raw_urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """raw url strings -> valid canonical rows (uri, url, host, path,
+    is_image), invalid dropped (URL.isValid semantics)."""
+    p = raw_urls.withColumn("__p", parse_url(F.col(url_col)))
+    return (
+        p.where(F.col("__p.valid"))
+        .select(
+            F.col("__p.uri").alias("uri"),
+            F.col("__p.url_norm").alias("url"),
+            F.col("__p.host").alias("host"),
+            F.col("__p.path").alias("path"),
+            F.col("__p.is_image").alias("is_image"),
+            *[c for c in raw_urls.columns if c != url_col],
+        )
+    )
+
+
+def _epoch_snapshot(table, epoch: int) -> int:
+    """Snapshot id of the commit for ``epoch`` (manifest lookup)."""
+    for m in table.history():
+        if m.get("epoch") == epoch:
+            return m["snapshot"]
+    raise KeyError(f"table {table.name} has no snapshot for epoch {epoch}")
+
+
+def _read_epoch(spark, cat: Catalog, name: str, epoch: int) -> DataFrame:
+    t = cat.table(name)
+    return t.read(spark, _epoch_snapshot(t, epoch))
+
+
+def _partition_metrics(df: DataFrame, n_parts: int, uri_col: str = "uri") -> list:
+    """(pid, count) pairs under the layout-independent partition id."""
+    rows = (
+        df.groupBy(
+            F.pmod(F.xxhash64(F.lit("pid"), F.col(uri_col)), F.lit(n_parts))
+            .cast("int")
+            .alias("pid")
+        )
+        .count()
+        .collect()
+    )
+    return sorted([[r["pid"], r["count"]] for r in rows])
+
+
+def init_crawl(spark: SparkSession, cat: Catalog, seeds: DataFrame, cfg: CrawlConfig) -> None:
+    """Epoch 0: canonicalize seeds into the frontier; empty state tables."""
+    if cat.table("frontier").exists():
+        return  # already initialized (resume)
+    n_parts, bits, k = cfg.bloom
+    cand = canonicalize(seeds, "url")
+    frontier = (
+        cand.groupBy("uri")
+        .agg(
+            F.first("url").alias("url"),
+            F.first("host").alias("host"),
+            F.first("path").alias("path"),
+            F.max("priority").alias("priority"),
+            F.min("discovered_epoch").cast("long").alias("discovered_epoch"),
+            F.first("is_image").alias("is_image"),
+        )
+        .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+    )
+    empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
+    lineage = {"seeds": "input"}
+    cat.table("frontier").commit(frontier, epoch=0, lineage=lineage)
+    cat.table("seen").commit(empty(SEEN_SCHEMA), epoch=0)
+    cat.table("bloom").commit(seen_ops.empty_bloom(spark, n_parts, bits), epoch=0)
+    cat.table("fetch_log").commit(empty(FETCH_LOG_SCHEMA), epoch=0)
+    cat.table("uri_counts").commit(empty(URI_COUNTS_SCHEMA), epoch=0)
+
+
+def run_epoch(
+    spark: SparkSession,
+    cat: Catalog,
+    corpus: DataFrame,
+    images: DataFrame,
+    robots: DataFrame,
+    epoch: int,
+    cfg: CrawlConfig,
+) -> dict:
+    """One crawl tick. Inputs are read from epoch-1 snapshots; every output
+    table is committed with this epoch. Idempotent: tables already at
+    ``epoch`` are left untouched (crash-resume re-entry)."""
+    n_parts, bits, k = cfg.bloom
+    prev = epoch - 1
+
+    frontier = _read_epoch(spark, cat, "frontier", prev)
+    seen_tbl = _read_epoch(spark, cat, "seen", prev)
+    bloom_tbl = _read_epoch(spark, cat, "bloom", prev)
+    uri_counts = _read_epoch(spark, cat, "uri_counts", prev)
+
+    # 1. robots gate (broadcast join; blocked rows are dropped + marked seen
+    #    so they are never re-attempted)
+    gated = robots_ops.apply_robots(frontier, robots).cache()
+    allowed = gated.where(F.col("allowed"))
+    blocked = gated.where(~F.col("allowed"))
+
+    # 2. politeness schedule: ≤ budget per host, salted two-phase ranking
+    scheduled = politeness.schedule(
+        allowed, cfg.budget, n_salts=cfg.n_salts
+    ).cache()
+
+    fetch_log = scheduled.select(
+        F.lit(epoch).cast("long").alias("epoch"),
+        "host", "uri", "slot", "tick", "is_image",
+    )
+
+    # 3. fetch = join the content tables (the sandbox's simulated fetch;
+    #    on a real crawl this is the executor-side HTTP stage)
+    fetched_pages = (
+        scheduled.where(~F.col("is_image"))
+        .select("uri", "priority")
+        .join(corpus, "uri", "inner")
+        .cache()
+    )
+    fetched_images = (
+        scheduled.where(F.col("is_image"))
+        .select(F.col("uri").alias("image_id"), F.lit(epoch).cast("long").alias("epoch"))
+        .join(images, "image_id", "inner")
+    )
+
+    # 4. link extraction -> canonical candidates (priority = parent*decay)
+    out_raw = fetched_pages.select(
+        F.col("priority"), F.explode("out_urls").alias("url")
+    )
+    children = canonicalize(out_raw, "url").select(
+        "uri", "url", "host", "path", "is_image",
+        (F.col("priority") * cfg.priority_decay).alias("priority"),
+    )
+
+    # 5. seen-set insert: everything scheduled or robots-blocked this epoch
+    newly_seen = (
+        scheduled.select("uri").unionByName(blocked.select("uri")).distinct().cache()
+    )
+    seen_next = seen_tbl.unionByName(newly_seen)
+    bloom_next = seen_ops.bloom_insert(newly_seen, bloom_tbl, "uri", k, bits, n_parts)
+
+    # 6. frontier update: remaining old rows + unseen new candidates,
+    #    deduped by uri (max priority, min discovery epoch)
+    remaining = frontier.join(newly_seen, "uri", "left_anti")
+    fresh = seen_ops.filter_unseen(
+        children, seen_next, bloom_next, "uri", k=k, bits=bits, n_partitions=n_parts
+    ).select(
+        "uri", "url", "host", "path",
+        F.col("priority"),
+        F.lit(epoch + 1).cast("long").alias("discovered_epoch"),
+        "is_image",
+    )
+    frontier_next = (
+        remaining.unionByName(fresh)
+        .groupBy("uri")
+        .agg(
+            F.first("url").alias("url"),
+            F.first("host").alias("host"),
+            F.first("path").alias("path"),
+            F.max("priority").alias("priority"),
+            F.min("discovered_epoch").alias("discovered_epoch"),
+            F.first("is_image").alias("is_image"),
+        )
+        .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+    # 7. index-state merge (T3 as a batch MERGE): docs+1 per fetched page,
+    #    links_to+1 per distinct (page, target)
+    own = fetched_pages.select(
+        "uri", F.lit(0).cast("long").alias("links_to"), F.lit(1).cast("long").alias("docs")
+    )
+    lnk = (
+        fetched_pages.select(F.col("uri").alias("src"), F.explode("out_urls").alias("url"))
+    )
+    lnk = canonicalize(lnk, "url").select("src", "uri").distinct().select(
+        "uri", F.lit(1).cast("long").alias("links_to"), F.lit(0).cast("long").alias("docs")
+    )
+    delta = (
+        own.unionByName(lnk)
+        .groupBy("uri")
+        .agg(F.sum("links_to").alias("d_links"), F.sum("docs").alias("d_docs"))
+        .cache()
+    )
+    uri_counts_next = (
+        uri_counts.join(delta, "uri", "full_outer")
+        .select(
+            "uri",
+            (F.coalesce("links_to", F.lit(0)) + F.coalesce("d_links", F.lit(0)))
+            .cast("long")
+            .alias("links_to"),
+            (F.coalesce("docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+            .cast("long")
+            .alias("docs"),
+        )
+        .where((F.col("links_to") != 0) | (F.col("docs") != 0))
+    )
+    domain_counts_next = (
+        uri_counts_next.select(F.split_part("uri", F.lit(">"), F.lit(1)).alias("rev_domain"))
+        .groupBy("rev_domain")
+        .agg(F.count(F.lit(1)).alias("pagecount"))
+    )
+
+    # ------------------------------------------------------------- metrics
+    n_pages = fetched_pages.count()
+    n_links = delta.where(F.col("d_links") > 0).agg(F.sum("d_links")).collect()[0][0] or 0
+    changed = delta.count()
+    old_domains = uri_counts.select(
+        F.split_part("uri", F.lit(">"), F.lit(1)).alias("d")
+    ).distinct()
+    new_domains = domain_counts_next.select(F.col("rev_domain").alias("d")).distinct()
+    domains_new = new_domains.join(old_domains, "d", "left_anti").count()
+    metrics = {
+        "webindex_pages_ingested": n_pages,
+        "webindex_links_ingested": int(n_links),
+        "webindex_pages_changed": n_pages,
+        "webindex_links_new": int(n_links),
+        "webindex_links_changed": changed,
+        "webindex_domains_new": domains_new,
+        "webindex_domains_changed": domains_new,
+        "webindex_pages_exported": n_pages,
+        "webindex_links_exported": int(n_links),
+        "webindex_domains_exported": domains_new,
+    }
+    part_metrics = _partition_metrics(
+        fetch_log.select("uri"), cfg.metric_partitions
+    )
+
+    # ------------------------------------------------------------- commits
+    lineage = {t: prev for t in TABLES}
+    # Commit order matters for crash-resume: run_crawl's done-check watches
+    # the five core tables, and "frontier" commits LAST, so done ⇒ every
+    # earlier commit (incl. pages_state/fetched_images) already published.
+    outputs = {
+        "pages_state": fetched_pages.select(
+            "uri", "url", "host", "title", "out_urls",
+            F.lit(epoch).cast("long").alias("fetched_epoch"),
+        ),
+        "fetched_images": fetched_images,
+        "fetch_log": _read_epoch(spark, cat, "fetch_log", prev).unionByName(fetch_log),
+        "seen": seen_next,
+        "bloom": bloom_next,
+        "domain_counts": domain_counts_next,
+        "uri_counts": uri_counts_next,
+        "frontier": frontier_next,
+    }
+    for name, df in outputs.items():
+        t = cat.table(name)
+        if t.epoch_of_head() is not None and t.epoch_of_head() >= epoch:
+            continue  # already committed by a previous (killed) run
+        if name in ("pages_state", "fetched_images") and t.exists():
+            df = t.read(spark).unionByName(df)
+        t.commit(
+            df, epoch=epoch, lineage=lineage, metrics=metrics,
+            partition_metrics=part_metrics,
+        )
+
+    for c in (gated, scheduled, fetched_pages, newly_seen, delta):
+        c.unpersist()
+    return metrics
+
+
+def run_crawl(
+    spark: SparkSession,
+    cat: Catalog,
+    corpus: DataFrame,
+    images: DataFrame,
+    robots: DataFrame,
+    seeds: DataFrame,
+    n_epochs: int,
+    cfg: CrawlConfig | None = None,
+) -> list[dict]:
+    """Crawl for ``n_epochs`` with resume: epochs whose outputs are all
+    committed are skipped entirely (no refetch after a kill)."""
+    cfg = cfg or CrawlConfig()
+    init_crawl(spark, cat, seeds, cfg)
+    all_metrics = []
+    for epoch in range(1, n_epochs + 1):
+        done = all(
+            cat.table(t).exists() and (cat.table(t).epoch_of_head() or -1) >= epoch
+            for t in ("frontier", "seen", "bloom", "fetch_log", "uri_counts")
+        )
+        if done:
+            all_metrics.append(cat.table("frontier").manifest().get("metrics", {}))
+            continue
+        all_metrics.append(
+            run_epoch(spark, cat, corpus, images, robots, epoch, cfg)
+        )
+    return all_metrics

@@ -1,0 +1,233 @@
+"""Image payload operators (BASELINE.json input_hint; SURVEY.md §7.2 M4).
+
+The input table carries ``(image_id:string, bytes:binary, w:int32, h:int32,
+fmt:string, caption:string, phash:int64)``.  No image libraries exist in
+this container, so the codecs here are dependency-free and deterministic:
+
+  * ``fmt='png'``  — a real, spec-conformant minimal PNG codec (8-bit RGB,
+    zlib/DEFLATE, filter 0) written against the public PNG spec; lossless.
+  * ``fmt='raw'``  — width*height*3 RGB bytes; lossless.
+  * ``fmt='lossy'``— raw RGB quantized to 6 bits/channel; the decoded
+    pixels differ from the original by <= 4/channel, i.e. PSNR ~= 44 dB —
+    above the north rule's >=40 dB bar, used to exercise the lossy branch
+    of the per-row invariant.
+
+``phash`` is a 64-bit average-hash (8x8 block-mean of the grayscale,
+thresholded by the global mean) — deterministic, pure numpy.
+
+The per-row verification invariant (north rule): decoded-pixel allclose
+for lossless formats, PSNR >= 40 dB for lossy, plus caption equality.
+``verify_batch`` implements it over pandas batches; ``verify_images``
+lifts it to a DataFrame via mapInPandas (Arrow batches, no per-row
+Python at the Spark level).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------------- codecs
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> minimal PNG (color type 2, bit depth 8)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter byte 0 per scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Minimal PNG -> RGB uint8 (h, w, 3); supports what png_encode emits
+    plus filters 1 (Sub) and 2 (Up) for robustness."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for row in range(h):
+        f = raw[row * (stride + 1)]
+        line = np.frombuffer(
+            raw[row * (stride + 1) + 1:(row + 1) * (stride + 1)], dtype=np.uint8
+        ).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 1:  # Sub
+            line = line.astype(np.int16)
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+            line = line.astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+        out[row] = line
+        prev = line
+    return out.reshape(h, w, 3)
+
+
+def lossy_encode(pixels: np.ndarray) -> bytes:
+    """Emulated lossy codec: 6 bits/channel quantization (PSNR ~= 44 dB)."""
+    q = (pixels & 0xFC) | (pixels >> 6)
+    return q.tobytes()
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(bytes(data))
+    if fmt in ("raw", "lossy"):
+        return np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, 3)
+    raise NotImplementedError(
+        f"decode for fmt={fmt!r} requires an image library not present in "
+        "this container; plug a real decoder in here on a full cluster"
+    )
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "lossy":
+        return lossy_encode(pixels)
+    raise NotImplementedError(f"encode for fmt={fmt!r}")
+
+
+# ----------------------------------------------------------- hash / metrics
+
+
+def average_phash(pixels: np.ndarray) -> int:
+    """64-bit average hash: grayscale -> 8x8 block means -> >= global mean.
+
+    Signed int64 (bit 63 becomes the sign bit) to match the table schema
+    ``phash:int64``.
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # block-mean resample to 8x8 (pad to multiples of 8 by edge-clamping)
+    ys = (np.arange(8 + 1) * h // 8).astype(int)
+    xs = (np.arange(8 + 1) * w // 8).astype(int)
+    blocks = np.zeros((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks >= blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ------------------------------------------------------- the Spark operator
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("pixels_ok", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("phash_ok", T.BooleanType()),
+        T.StructField("caption_ok", T.BooleanType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def verify_batch(pdf: pd.DataFrame, expected_pixels_fn, expected_caption_fn) -> pd.DataFrame:
+    """Per-row invariant over one pandas batch: decoded-pixel allclose
+    (lossless) / PSNR >= 40 dB (lossy) + phash recompute + caption equality.
+
+    ``expected_pixels_fn(image_id) -> np.ndarray`` regenerates the ground
+    truth deterministically (synthetic data is seeded by image_id);
+    ``expected_caption_fn(image_id) -> str`` likewise.
+    """
+    rows = []
+    for r in pdf.itertuples(index=False):
+        exp = expected_pixels_fn(r.image_id)
+        got = decode(r.bytes, r.w, r.h, r.fmt)
+        if r.fmt == "lossy":
+            p = psnr(exp, got)
+            pixels_ok = bool(p >= 40.0)
+        else:
+            p = psnr(exp, got)
+            pixels_ok = bool(np.array_equal(exp, got))
+        phash_ok = bool(average_phash(got) == r.phash) if r.fmt != "lossy" else bool(
+            bin(average_phash(got) ^ r.phash).count("1") <= 4
+        )
+        caption_ok = bool(r.caption == expected_caption_fn(r.image_id))
+        rows.append(
+            {
+                "image_id": r.image_id,
+                "pixels_ok": pixels_ok,
+                "psnr_db": float(min(p, 1e9)),
+                "phash_ok": phash_ok,
+                "caption_ok": caption_ok,
+                "ok": pixels_ok and phash_ok and caption_ok,
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
+
+
+def verify_images(images: DataFrame, expected_pixels_fn, expected_caption_fn) -> DataFrame:
+    """mapInPandas lift of verify_batch: Arrow-batched, partition-parallel.
+    The decode kernel is per-image numpy work; Spark's only job is moving
+    binary columns in Arrow batches — which is exactly the right division
+    of labor for multimodal columns at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield verify_batch(pdf, expected_pixels_fn, expected_caption_fn)
+
+    return images.mapInPandas(run, schema=VERIFY_SCHEMA)

@@ -1,0 +1,157 @@
+"""Snapshot-committed parquet tables — the engine's checkpoint substrate.
+
+The north rule requires frontier state, dedup filters, and per-partition
+lineage/metrics to "checkpoint to Iceberg snapshots so a killed run resumes
+without refetching".  No Iceberg runtime jar exists in this sandbox
+(pyspark 4.1.2 ships none, and there is no network for ``--packages``), so
+the engine writes through this seam instead (SURVEY.md §7.3): on a real
+cluster you point the same call sites at Iceberg (``df.writeTo(...)`` /
+``MERGE INTO``); locally this class provides the exact transactional
+properties the resume logic relies on:
+
+  * **atomic commit**: data is fully written to an immutable
+    ``snap-NNNNN`` directory plus a manifest before a single atomic
+    ``os.replace`` of the HEAD pointer publishes it; a kill at ANY earlier
+    point leaves HEAD on the previous snapshot (orphan dirs are ignored
+    and reclaimed by the next commit attempt);
+  * **snapshot isolation / time travel**: readers name a snapshot id or
+    take HEAD; ids are monotonically increasing ints (≡ Iceberg
+    snapshot-id / sequence-number);
+  * **lineage + metrics in the manifest**: each commit records the input
+    snapshots it was computed from and the engine's per-partition meter
+    values (BASELINE.md's ten webindex meter names), so "which partitions
+    already processed epoch E" is answerable without re-reading data —
+    that is the per-partition lineage check FIXTURES.md §7 asks for.
+
+This mirrors the role Fluo's MVCC transactions + sequenced export queue
+play in the reference (PageObserver.java:72-124, IndexClient.java:250-306):
+a deterministic job re-run after a crash is idempotent because its output
+commit either already happened (resume skips it) or never published.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.dir, exist_ok=True)
+
+    # ------------------------------------------------------------- pointers
+
+    @property
+    def _head_path(self) -> str:
+        return os.path.join(self.dir, "_HEAD")
+
+    def head(self) -> int | None:
+        """Current committed snapshot id, or None for an empty table."""
+        try:
+            with open(self._head_path, encoding="utf-8") as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _snap_dir(self, sid: int) -> str:
+        return os.path.join(self.dir, f"snap-{sid:05d}")
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.dir, f"manifest-{sid:05d}.json")
+
+    # --------------------------------------------------------------- reads
+
+    def exists(self) -> bool:
+        return self.head() is not None
+
+    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        sid = self.head() if snapshot is None else snapshot
+        if sid is None:
+            raise FileNotFoundError(f"table {self.name} has no committed snapshot")
+        return spark.read.parquet(self._snap_dir(sid))
+
+    def manifest(self, snapshot: int | None = None) -> dict:
+        sid = self.head() if snapshot is None else snapshot
+        with open(self._manifest_path(sid), encoding="utf-8") as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        out = []
+        sid = self.head()
+        while sid is not None:
+            m = self.manifest(sid)
+            out.append(m)
+            sid = m.get("parent")
+        return list(reversed(out))
+
+    # -------------------------------------------------------------- commits
+
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        epoch: int | None = None,
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+        partition_metrics: list | None = None,
+    ) -> int:
+        """Write ``df`` as the next snapshot; returns its id.
+
+        The write happens into a scratch dir first, is renamed into its
+        immutable ``snap-NNNNN`` location, the manifest is written, and
+        only then does the atomic HEAD replace publish the snapshot.
+        """
+        parent = self.head()
+        sid = (parent or 0) + 1
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        target = self._snap_dir(sid)
+        if os.path.exists(target):  # orphan from a killed earlier attempt
+            shutil.rmtree(target)
+        os.replace(tmp, target)
+        man = {
+            "table": self.name,
+            "snapshot": sid,
+            "parent": parent,
+            "epoch": epoch,
+            "lineage": lineage or {},
+            "metrics": metrics or {},
+            "partition_metrics": partition_metrics or [],
+        }
+        with open(self._manifest_path(sid), "w", encoding="utf-8") as f:
+            json.dump(man, f)
+        head_tmp = self._head_path + f".tmp-{uuid.uuid4().hex}"
+        with open(head_tmp, "w", encoding="utf-8") as f:
+            f.write(str(sid))
+        os.replace(head_tmp, self._head_path)  # the commit point
+        return sid
+
+    def rollback(self, snapshot: int) -> None:
+        """Move HEAD back to an earlier snapshot (crash simulation/tests)."""
+        if not os.path.exists(self._snap_dir(snapshot)):
+            raise FileNotFoundError(f"snapshot {snapshot} does not exist")
+        head_tmp = self._head_path + f".tmp-{uuid.uuid4().hex}"
+        with open(head_tmp, "w", encoding="utf-8") as f:
+            f.write(str(snapshot))
+        os.replace(head_tmp, self._head_path)
+
+    def epoch_of_head(self) -> int | None:
+        sid = self.head()
+        return None if sid is None else self.manifest(sid).get("epoch")
+
+
+class Catalog:
+    """A directory of SnapshotTables — the engine's 'warehouse'."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name)
