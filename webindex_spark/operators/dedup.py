@@ -1,0 +1,225 @@
+"""Deduplication stack for training-data pipelines.
+
+Four tiers, all expressed Spark-first (single-shuffle aggregates, JVM-side
+hashing, no Python in the hot path):
+
+  * **exact**      — content-hash groupBy (md5), representative = min id;
+  * **minhash+LSH**— word-shingle -> xxhash64 -> k min-aggregates (the
+    signature is k ``min()`` aggregations over one shuffle, not a UDF),
+    banded into b buckets; same-bucket pairs are near-dup candidates;
+    candidates are verified with TRUE n-gram Jaccard via a shingle join;
+  * **simhash**    — 64-bit sign-of-weighted-sum fingerprint, computed as
+    64 conditional sums in one aggregate; hamming-close pairs are dups;
+  * **ngram-jaccard** — the exact verifier, also usable standalone.
+
+Scale notes: every tier is one or two hash-partitioned shuffles keyed by
+doc_id or band bucket; LSH banding bounds the candidate-pair explosion the
+way it does in production dedup (the all-pairs O(n²) verify only ever runs
+inside a bucket).  Hot buckets (boilerplate shingles) are bounded by
+``max_bucket`` — buckets above it are dropped and logged, the standard
+spam-cluster guard.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# deterministic Carter-Wegman-ish mixers for the k minhash functions
+_P = (1 << 61) - 1
+
+
+def _mix_consts(k: int, seed: int = 7):
+    a, out = seed, []
+    for _ in range(k):
+        a = (a * 6364136223846793005 + 1442695040888963407) % _P
+        b = (a * 2862933555777941757 + 3037000493) % _P
+        out.append((a | 1, b))
+    return out
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, keep_doc_id, n_copies) — the hash-groupBy tier."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingle_hash) distinct word n-gram shingles, hashed JVM-side.
+
+    Tokenize -> sliding window via transform over an index sequence ->
+    explode -> xxhash64.  Everything whole-stage-codegen'd.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .select("id", F.xxhash64("shingle").alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = 32) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): k universal-hash minima in ONE aggregate.
+
+    Arithmetic stays within int64 (ANSI mode): the shingle hash is folded
+    to 31 bits and the multipliers to 31 bits, so a*h+b < 2^63.
+    """
+    h31 = F.pmod(F.col("shingle_hash"), F.lit(1 << 31))
+    aggs = []
+    for i, (a, b) in enumerate(_mix_consts(k)):
+        a31, b61 = (a % (1 << 31)) | 1, b % _P
+        aggs.append(
+            F.min(F.pmod(F.lit(a31) * h31 + F.lit(b61), F.lit(_P))).alias(f"mh_{i}")
+        )
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, k: int = 32, bands: int = 8, max_bucket: int = 50
+) -> DataFrame:
+    """Same-band-bucket pairs (id_a < id_b). rows-per-band = k // bands."""
+    r = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    exploded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # spam-cluster guard: drop oversized buckets (boilerplate shingles)
+    w = Window.partitionBy("band", "bucket")
+    bounded = exploded.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+        F.col("__n") <= max_bucket
+    ).drop("__n")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """TRUE Jaccard over shingle sets for candidate pairs.
+
+    |A∩B| via a (pair ⋈ shingles) double join keyed by shingle_hash;
+    |A∪B| = |A|+|B|-|A∩B|.  Only candidate pairs pay this cost.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle_hash"),
+            ["id_b", "shingle_hash"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
+    sh = shingles(docs, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, k)
+    cand = lsh_candidates(sig, k, bands)
+    return jaccard_verify(cand, sh, threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 64-bit token-weighted sign fingerprint, one aggregate.
+
+    bit_i(doc) = sign( Σ_tokens (2*((xxhash64(token)>>i)&1) - 1) ).
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+        .select("id", F.xxhash64("tok").alias("h"))
+    )
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    withbits = sums.select("id", *bit_terms)
+    acc = F.lit(0).cast("long")
+    for i in range(63):
+        acc = acc + F.col(f"b_{i}") * F.lit(1 << i).cast("long")
+    # bit 63 is the sign bit of the int64 representation
+    acc = acc + F.when(
+        F.col("b_63") == 1, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return withbits.select("id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Hamming-close pairs via the block trick: split 64 bits into
+    ``blocks`` chunks; any pair within ``max_hamming < blocks`` shares at
+    least one exact chunk -> join per chunk, verify full distance."""
+    width = 64 // blocks
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+            )
+            for b in range(blocks)
+        ])).alias("c"),
+    ).select("id", "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

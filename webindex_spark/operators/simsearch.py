@@ -1,0 +1,110 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths, as the training-pipeline brief requires:
+
+  * **brute force** (the correctness baseline): query × corpus cosine via
+    higher-order functions (``zip_with`` + ``aggregate``) — dot products
+    run JVM-side inside codegen, queries are broadcast, the corpus never
+    shuffles.  Exact; O(|corpus| · |queries|).
+  * **LSH-bucketed** (the scale path): random-hyperplane signatures — H
+    seeded hyperplanes, sign-bit signature per vector, computed with the
+    same JVM-side dot product (the planes are literal arrays, no UDF, no
+    Python).  Vectors sharing a signature bucket (under any of ``tables``
+    independent plane sets) are candidates; exact cosine re-ranks inside
+    buckets only.  Recall tunes with H (bucket granularity) and tables;
+    the candidate join is hash-partitioned by bucket so it scales the way
+    a 100 TB ANN sweep must — no global pairwise stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Top-k cosine neighbors per query (queries broadcast)."""
+    from pyspark.sql import Window
+
+    j = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    scored = j.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def _planes(dim: int, n_planes: int, table: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.Generator(np.random.PCG64(seed + 7919 * table))
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def add_signature(
+    df: DataFrame, dim: int, n_planes: int = 12, table: int = 0,
+    vec_col: str = "embedding", out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature as a packed long — plane arrays are
+    literals, the dot products run in codegen."""
+    planes = _planes(dim, n_planes, table)
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + bit.cast("long") * F.lit(1 << i).cast("long")
+    return df.withColumn(out_col, sig)
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_planes: int = 12, tables: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """ANN top-k: union of per-table bucket joins, exact re-rank inside.
+
+    Candidate sets from the ``tables`` independent plane sets are unioned
+    then distinct-ed; only candidates pay the exact cosine.
+    """
+    from pyspark.sql import Window
+
+    cands = None
+    for t in range(tables):
+        c = add_signature(corpus, dim, n_planes, t, vec_col, "bucket")
+        q = add_signature(queries, dim, n_planes, t, q_vec_col, "bucket")
+        pair = c.join(F.broadcast(q), "bucket").where(
+            F.col(id_col) != F.col(q_id_col)
+        ).select(q_id_col, id_col, vec_col, q_vec_col)
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates([q_id_col, id_col])
+    scored = cands.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,97 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting (winnowing over rolling k-gram hashes).  The first
+three are pure built-in expression pipelines (see also the oracle-checked
+query forms in plans/crawl_queries.py); the winnowing fingerprint uses the
+same JVM-side shingle hashing as the dedup stack plus a windowed min —
+no Python anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+ENGLISH_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+    "for", "on", "are", "as", "with", "his", "they", "at", "be", "this",
+]
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        (F.length(text_col) / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality heuristics + a single [0,1] score."""
+    text = F.col(text_col)
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(
+        *[F.lit(w) for w in ENGLISH_STOPWORDS]
+    )))
+    score = (
+        F.least(alpha / n, F.lit(0.9)) * 0.5
+        + F.least(stop_hits.cast("double") / 8.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(digits / n * 5, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        F.col(id_col),
+        (alpha / n).alias("alpha_ratio"),
+        (digits / n).alias("digit_ratio"),
+        (punct / n).alias("punct_ratio"),
+        stop_hits.cast("long").alias("stopword_kinds"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            min_hits: int = 3) -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(
+        *[F.lit(w) for w in ENGLISH_STOPWORDS[:8]]
+    )))
+    return docs.select(
+        F.col(id_col),
+        hits.cast("long").alias("stopword_kinds"),
+        (hits >= min_hits).alias("looks_english"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint: k-gram rolling hashes -> per-window minimum
+    -> distinct set per document (MOSS-style document signature).
+
+    Implemented entirely with higher-order functions: the k-gram hash
+    array and the sliding-window min are array transforms; the distinct
+    fingerprint set is one array_distinct.  Returns (id, fingerprints:
+    array<bigint> sorted).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_grams = F.greatest(F.size(toks) - k + 1, F.lit(1))
+    idx = F.sequence(F.lit(0), n_grams - 1)
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - window + 1, F.lit(1))
+    widx = F.sequence(F.lit(0), n_windows - 1)
+    mins = F.transform(
+        widx, lambda i: F.array_min(F.slice(gram_hashes, i + 1, window))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    )
