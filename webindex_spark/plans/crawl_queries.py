@@ -560,6 +560,167 @@ SQL_KNN_COSINE = (
 )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True word-3-gram Jaccard between consecutive documents — the exact
+    verifier of the dedup stack, oracle-checkable because the pair set is
+    defined relationally (doc_id, doc_id+1) instead of via LSH buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    )
+    g = docs.select(F.col("doc_id"), grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                 F.col("grams").alias("gb"))
+    return a.join(b, "id_a").select(
+        "id_a", "id_b",
+        (F.size(F.array_intersect("ga", "gb")) /
+         F.size(F.array_union("ga", "gb"))).cast("double").alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM t) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard "
+    "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
+)
+
+
+def q_part_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join shapes: parts that ship vs parts that never ship."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    shipped = part.join(li, "p_partkey", "left_semi").select(
+        "p_partkey", F.lit(True).alias("shipped")
+    )
+    never = part.join(li, "p_partkey", "left_anti").select(
+        "p_partkey", F.lit(False).alias("shipped")
+    )
+    return shipped.unionByName(never)
+
+
+SQL_PART_SEMI_JOIN = (
+    "SELECT p_partkey, TRUE AS shipped FROM part "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) "
+    "UNION ALL "
+    "SELECT p_partkey, FALSE AS shipped FROM part "
+    "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
+)
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (status, priority) with grouping flags."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("n_orders"),
+        )
+    )
+
+
+SQL_ORDER_ROLLUP = (
+    "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+    "COALESCE(o_orderpriority, 'ALL') AS priority, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders "
+    "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+)
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend — analytic window with a deterministic
+    frame (ordered by date, orderkey; exact integer cents)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        (F.sum(cents).over(w) / 100.0).alias("running_spend"),
+    )
+
+
+SQL_RUNNING_TOTAL = (
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "/ CAST(100 AS DOUBLE) AS running_spend FROM orders"
+)
+
+
+def q_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: distinct shipping suppliers + parts per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+SQL_SUPPLIER_DISTINCT = (
+    "SELECT n_name, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers, "
+    "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+)
+
+
+# ------------------------- engine ops without a SQL-expressible oracle
+# (the driver records a weaker rows-only check for these; their semantics
+# are locked instead by tests/ against python oracles)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webindex_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webindex_spark.operators import dedup
+
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webindex_spark.operators import textstats
+
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webindex_spark.operators import simsearch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    return simsearch.lsh_topk(emb, queries, dim=dim, k=5)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict = {
@@ -580,4 +741,14 @@ QUERIES: dict = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "part_semi_join": (q_part_semi_join, SQL_PART_SEMI_JOIN),
+    "order_rollup": (q_order_rollup, SQL_ORDER_ROLLUP),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "supplier_distinct": (q_supplier_distinct, SQL_SUPPLIER_DISTINCT),
+    # rows-only checks (no SQL-expressible oracle; locked by pytest oracles)
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash": (q_simhash, None),
+    "fingerprints": (q_fingerprints, None),
+    "knn_lsh": (q_knn_lsh, None),
 }
