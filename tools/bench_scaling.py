@@ -1,0 +1,117 @@
+"""Scaling-efficiency benchmark: the same jobs at N and 4N executors.
+
+The north rule requires ">= 0.8 throughput scaling efficiency between N
+and 4N executor clusters".  The sandbox has one machine, so we use Spark's
+``local-cluster`` master — REAL separate executor JVMs with their own
+block managers and Python workers, scheduled by a real standalone-style
+master — at 1 executor x 8 cores vs 4 executors x 8 cores.  This is the
+faithful stand-in: unlike ``local[n]`` threads, executor JVMs scale the
+shuffle machinery the way a multi-node cluster does.
+
+Jobs (webindex_spark/plans/bench_jobs.py):
+  * frontier scheduling pipeline  -> frontier URLs processed+scheduled/sec
+  * image decode/phash/caption verify -> fetched-image rows/sec
+
+Each level runs in its own subprocess (fresh JVMs), with an untimed warmup
+pass; we report the best of ``passes`` timed runs.
+
+Usage:  python tools/bench_scaling.py [--quick]
+Output: one JSON summary line (consumed into BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+n_exec, n_urls, n_images, passes = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+from webindex_spark.session import get_spark
+from webindex_spark.plans import bench_jobs
+
+spark = get_spark(
+    "bench-scaling",
+    master=f"local-cluster[{n_exec},8,6144]",
+    shuffle_partitions=64,
+    extra_conf={
+        "spark.local.dir": "/dev/shm/spark-bench",
+        "spark.executor.memory": "5g",
+        "spark.driver.memory": "8g",
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+bench_jobs.frontier_throughput_job(spark, n_urls // 20, 5000)   # warmup
+res_f = []
+for _ in range(passes):
+    n, dt = bench_jobs.frontier_throughput_job(spark, n_urls, 50_000)
+    res_f.append((n, dt))
+
+bench_jobs.image_verify_throughput_job(spark, 2000)             # warmup
+res_i = []
+for _ in range(passes):
+    n, dt = bench_jobs.image_verify_throughput_job(spark, n_images)
+    res_i.append((n, dt))
+
+# throughput = input URLs pushed through the full pipeline per second
+best_f = max(n_urls / dt for _, dt in res_f)
+best_i = max(n / dt for n, dt in res_i)
+print(json.dumps({
+    "executors": n_exec,
+    "frontier": {"n_urls": n_urls, "scheduled": res_f[0][0],
+                  "secs": [round(d, 2) for _, d in res_f],
+                  "urls_per_sec": round(best_f, 1)},
+    "images": {"n": res_i[0][0], "secs": [round(d, 2) for _, d in res_i],
+                "rows_per_sec": round(best_i, 1)},
+}))
+spark.stop()
+"""
+
+
+def run_level(n_exec: int, n_urls: int, n_images: int, passes: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(n_exec), str(n_urls), str(n_images), str(passes)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if out.returncode != 0:
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"level {n_exec} executors failed")
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    n_urls = 2_000_000 if quick else 20_000_000
+    n_images = 10_000 if quick else 150_000
+    passes = 1 if quick else 2
+    lo, hi = 1, 4  # executors (x8 cores each) => N vs 4N
+
+    a = run_level(lo, n_urls, n_images, passes)
+    b = run_level(hi, n_urls, n_images, passes)
+
+    eff_f = (b["frontier"]["urls_per_sec"] / a["frontier"]["urls_per_sec"]) / (hi / lo)
+    eff_i = (b["images"]["rows_per_sec"] / a["images"]["rows_per_sec"]) / (hi / lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "levels_executors_x_cores": [f"{lo}x8", f"{hi}x8"],
+        "frontier_urls_per_sec": {str(lo): a["frontier"]["urls_per_sec"],
+                                   str(hi): b["frontier"]["urls_per_sec"]},
+        "frontier_secs": {str(lo): a["frontier"]["secs"], str(hi): b["frontier"]["secs"]},
+        "image_rows_per_sec": {str(lo): a["images"]["rows_per_sec"],
+                                str(hi): b["images"]["rows_per_sec"]},
+        "image_secs": {str(lo): a["images"]["secs"], str(hi): b["images"]["secs"]},
+        "efficiency_frontier": round(eff_f, 3),
+        "efficiency_images": round(eff_i, 3),
+        "n_urls": n_urls, "n_images": n_images,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -189,13 +189,13 @@ def verify_batch(pdf: pd.DataFrame, expected_pixels_fn, expected_caption_fn) -> 
     """Per-row invariant over one pandas batch: decoded-pixel allclose
     (lossless) / PSNR >= 40 dB (lossy) + phash recompute + caption equality.
 
-    ``expected_pixels_fn(image_id) -> np.ndarray`` regenerates the ground
-    truth deterministically (synthetic data is seeded by image_id);
+    ``expected_pixels_fn(image_id, w, h) -> np.ndarray`` regenerates the
+    ground truth deterministically (synthetic data is seeded by image_id);
     ``expected_caption_fn(image_id) -> str`` likewise.
     """
     rows = []
     for r in pdf.itertuples(index=False):
-        exp = expected_pixels_fn(r.image_id)
+        exp = expected_pixels_fn(r.image_id, int(r.w), int(r.h))
         got = decode(r.bytes, r.w, r.h, r.fmt)
         if r.fmt == "lossy":
             p = psnr(exp, got)
@@ -203,9 +203,7 @@ def verify_batch(pdf: pd.DataFrame, expected_pixels_fn, expected_caption_fn) -> 
         else:
             p = psnr(exp, got)
             pixels_ok = bool(np.array_equal(exp, got))
-        phash_ok = bool(average_phash(got) == r.phash) if r.fmt != "lossy" else bool(
-            bin(average_phash(got) ^ r.phash).count("1") <= 4
-        )
+        phash_ok = bool(average_phash(got) == r.phash)
         caption_ok = bool(r.caption == expected_caption_fn(r.image_id))
         rows.append(
             {

@@ -28,7 +28,7 @@ matching bitmap row by ``pid``.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
+from collections.abc import Iterator  # noqa: F401
 
 import numpy as np
 import pandas as pd
@@ -77,11 +77,70 @@ def _indices(h1: np.ndarray, h2: np.ndarray, k: int, bits: int) -> np.ndarray:
     return (a[:, None] + ks[None, :] * b[:, None]) % np.uint64(bits)
 
 
+# Below this total filter size the whole bloom is shipped to every task and
+# probed in a shuffle-free mapInPandas; above it, candidates shuffle to
+# their bitmap's partition (cogroup) — the only option when the filter is
+# tens of GiB (the 10^10-URL sizing).  512 MiB is a comfortable executor
+# broadcast budget.
+BROADCAST_BLOOM_MAX_BYTES = 512 * 1024 * 1024
+
+
 def bloom_probe(
     candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
     n_partitions: int,
 ) -> DataFrame:
-    """candidates + boolean ``maybe_seen`` column."""
+    """candidates + boolean ``maybe_seen``. Mode auto-selected by size."""
+    if n_partitions * (bits // 8) <= BROADCAST_BLOOM_MAX_BYTES:
+        return _bloom_probe_broadcast(candidates, bloom, uri_col, k, bits, n_partitions)
+    return _bloom_probe_cogroup(candidates, bloom, uri_col, k, bits, n_partitions)
+
+
+def _bloom_probe_broadcast(
+    candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
+    n_partitions: int,
+) -> DataFrame:
+    """Shuffle-free probe: bitmaps broadcast once per executor, candidates
+    stream through mapInPandas in place.  The hashes are still computed
+    JVM-side; Python does only the numpy bit tests."""
+    spark = candidates.sparkSession
+    bitmaps = {
+        int(r["pid"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
+        for r in bloom.collect()
+    }
+    bc = spark.sparkContext.broadcast(bitmaps)
+    cand = _with_hashes(candidates, uri_col, n_partitions)
+    cols = [c for c in cand.columns if c not in ("pid", "h1", "h2")]
+    out_schema = T.StructType(
+        [f for f in cand.schema.fields if f.name in cols]
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = bc.value
+        for pdf in batches:
+            idx = _indices(pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), k, bits)
+            byte_i = (idx >> np.uint64(3)).astype(np.int64)
+            bit_i = (idx & np.uint64(7)).astype(np.uint8)
+            pid = pdf["pid"].to_numpy()
+            res = np.zeros(len(pdf), dtype=bool)
+            for p in np.unique(pid):
+                m = pid == p
+                bmp = bm.get(int(p))
+                if bmp is None:
+                    continue
+                hit = (bmp[byte_i[m]] >> bit_i[m]) & 1
+                res[m] = hit.all(axis=1)
+            out = pdf[cols].copy()
+            out["maybe_seen"] = res
+            yield out
+
+    return cand.mapInPandas(probe, schema=out_schema)
+
+
+def _bloom_probe_cogroup(
+    candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
+    n_partitions: int,
+) -> DataFrame:
     cand = _with_hashes(candidates, uri_col, n_partitions)
     out_schema = T.StructType(
         cand.schema.fields[:-2] + [T.StructField("maybe_seen", T.BooleanType(), False)]
@@ -156,6 +215,10 @@ def filter_unseen(
     if bloom is None:
         return candidates.join(seen.select(uri_col), uri_col, "left_anti")
     probed = bloom_probe(candidates, bloom, uri_col, k, bits, n_partitions)
+    # Both union branches consume `probed`; without materialization Spark
+    # would run the Python probe twice (once per branch).  A lazy local
+    # checkpoint computes it once and truncates lineage.
+    probed = probed.localCheckpoint(eager=False)
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select(uri_col), uri_col, "left_anti")

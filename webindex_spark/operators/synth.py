@@ -136,9 +136,10 @@ def gen_images_pandas(image_ids: list[str], w: int = 32, h: int = 24) -> pd.Data
         px = image_pixels(iid, w, h)
         fmt = fmts[_mix("fmt", iid) % 3]
         data = img_ops.encode(px, fmt)
-        # phash of the *stored* pixels for lossless; of the original for
-        # lossy (verification allows <=4 bit hamming drift there)
-        ph = img_ops.average_phash(px)
+        # phash describes the STORED payload: computed over the decoded
+        # bytes (for lossy that is the quantized image), so verification
+        # can demand an exact phash match for every format
+        ph = img_ops.average_phash(img_ops.decode(data, w, h, fmt))
         rows.append(
             {
                 "image_id": iid, "bytes": data, "w": np.int32(w), "h": np.int32(h),

@@ -36,12 +36,47 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode default (64m) coalesces medium shuffles down to a
+        # handful of tasks, capping parallelism; 8m keeps all cores busy at
+        # bench scale while still coalescing away empty partitions.  On a
+        # real cluster raise this back toward 64-128m.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bigger Arrow batches amortize per-batch Python/IPC overhead in the
+        # vectorized kernels (probe/verify); 64k rows ≈ 6-10 MB batches
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if not master.startswith("local[") :
+        ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship webindex_spark to executor Python workers (the local analog of
+    ``spark-submit --py-files``).  Needed for any master with separate
+    executor processes (local-cluster, standalone, YARN, k8s); plain
+    ``local[n]`` shares the driver's sys.path."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "webindex_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py") or f.endswith(".dat"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "webindex_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
