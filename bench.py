@@ -60,6 +60,22 @@ def main() -> None:
 
     timings = run_queries(spark, sf_dir)
     total = round(sum(timings.values()), 3)
+
+    # north-rule throughput headline: frontier URLs/s + image rows/s at
+    # this session's parallelism (scaling evidence lives in
+    # tools/bench_scaling.py -> BENCH/BASELINE.md)
+    from webindex_spark.plans import bench_jobs
+
+    bench_jobs.frontier_throughput_job(spark, 200_000, 20_000)  # warm
+    n_urls = 4_000_000
+    _, f_dt = bench_jobs.frontier_throughput_job(spark, n_urls, 50_000)
+    bench_jobs.image_verify_throughput_job(spark, 2_000)        # warm
+    n_img, i_dt = bench_jobs.image_verify_throughput_job(spark, 40_000)
+    throughput = {
+        "frontier_urls_per_sec": round(n_urls / f_dt, 1),
+        "image_verify_rows_per_sec": round(n_img / i_dt, 1),
+    }
+
     print(
         json.dumps(
             {
@@ -67,6 +83,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "throughput": throughput,
                 "sf": sf,
             }
         )

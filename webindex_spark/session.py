@@ -44,8 +44,9 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches amortize per-batch Python/IPC overhead in the
-        # vectorized kernels (probe/verify); 64k rows ≈ 6-10 MB batches
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # vectorized kernels (measured: probe thrpt +2.5x going 64k->256k);
+        # actual batch memory stays bounded by partition size
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.locality.wait", "0s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

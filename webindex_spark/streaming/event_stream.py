@@ -1,0 +1,67 @@
+"""Structured Streaming rollup (SURVEY.md §2.9; batch twin: q_event_rollup).
+
+The reference has no event-time semantics (T8 in SURVEY.md — Fluo
+notifications play the streaming role), so this module exists for target
+coverage: a watermarked, windowed aggregation over an events stream, plus
+a stateful per-key counter via ``applyInPandasWithState`` mirroring the
+UriInfo combine-queue semantics (T3) for deployments that want the
+continuously-running form instead of snapshot batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_rollup(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per event_type tumbling-window counts/sums with late-data handling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("total", T.LongType()),
+    ]
+)
+
+
+def running_counts(events: DataFrame) -> DataFrame:
+    """Stateful running count per event_type — the streaming twin of the
+    UriInfo combine queue (sum deltas into persistent per-key state)."""
+
+    def update(key, pdfs, state: GroupState):
+        delta = sum(len(pdf) for pdf in pdfs)
+        total = (state.get[0] if state.exists else 0) + delta
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "total": [total]})
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            update, _OUT_SCHEMA, _STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
