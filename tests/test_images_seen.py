@@ -89,14 +89,35 @@ def test_bloom_no_false_negatives_and_exactness(spark):
     assert {r["uri"] for r in unseen.collect()} == set(probes[500:])
 
 
+def test_probe_modes_agree(spark):
+    """The JVM/broadcast probe and the numpy/cogroup probe implement the
+    same index math — bit-for-bit identical verdicts."""
+    n_parts, bits, k = seen_ops.bloom_params(500, 0.01, 4)
+    inserted = spark.createDataFrame([(f"u{i}",) for i in range(300)], ["uri"])
+    probes = spark.createDataFrame([(f"u{i}",) for i in range(600)], ["uri"])
+    bloom = seen_ops.bloom_insert(
+        inserted, seen_ops.empty_bloom(spark, n_parts, bits), "uri", k, bits, n_parts
+    ).cache()
+    a = {
+        r["uri"]: r["maybe_seen"]
+        for r in seen_ops._bloom_probe_jvm(probes, bloom, "uri", k, bits, n_parts).collect()
+    }
+    b = {
+        r["uri"]: r["maybe_seen"]
+        for r in seen_ops._bloom_probe_cogroup(probes, bloom, "uri", k, bits, n_parts).collect()
+    }
+    assert a == b
+    assert all(a[f"u{i}"] for i in range(300))
+
+
 def test_bloom_insert_idempotent(spark):
     n_parts, bits, k = seen_ops.bloom_params(100, 0.01, 4)
     uris = spark.createDataFrame([(f"u{i}",) for i in range(50)], ["uri"])
     b0 = seen_ops.empty_bloom(spark, n_parts, bits)
     b1 = seen_ops.bloom_insert(uris, b0, "uri", k, bits, n_parts)
     b2 = seen_ops.bloom_insert(uris, b1, "uri", k, bits, n_parts)
-    m1 = {r["pid"]: r["bitmap"] for r in b1.collect()}
-    m2 = {r["pid"]: r["bitmap"] for r in b2.collect()}
+    m1 = {r["pid"]: tuple(r["words"]) for r in b1.collect()}
+    m2 = {r["pid"]: tuple(r["words"]) for r in b2.collect()}
     assert m1 == m2
     assert len(m1) == n_parts
 

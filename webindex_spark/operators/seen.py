@@ -3,32 +3,36 @@
 Two tiers, exactly as the scale design demands:
 
   * **Bloom tier (cheap negative)**: a DataFrame of ``(pid:int,
-    bitmap:binary)`` partitions.  Membership hashing happens JVM-side
-    (``xxhash64`` — Spark's own vectorized 64-bit hash) so the only Python
-    work is numpy bit-tests over Arrow batches in a cogrouped
-    applyInPandas; candidates that miss the filter are *definitely new*
-    and skip the expensive tier.
+    words:array<long>)`` bitmap partitions.  All membership hashing is
+    JVM-side (``xxhash64``).  Probing has two physical modes, auto-chosen
+    by filter size:
+      - **broadcast/JVM** (filter ≤ 512 MiB): the bitmap rows broadcast-
+        join to candidates on pid and the k bit-tests run as pure Catalyst
+        expressions (``element_at`` + ``getbit``) inside whole-stage
+        codegen — zero shuffle, zero Python;
+      - **cogroup/numpy** (the 10^10-URL sizing, ~14 GiB at fpp 1%):
+        candidates shuffle once to their bitmap's partition and the bit
+        tests run vectorized in numpy over Arrow batches.
   * **Exact tier**: candidates the Bloom flags as maybe-seen are confirmed
-    with a LEFT ANTI join against the seen table.  The Bloom's false
-    positives only cost extra anti-join input (at fpp=1% that's 1% of new
-    URLs), never correctness — the final membership is EXACT, which is
-    what the north rule's "matching URL-seen membership" requires.
+    with a LEFT ANTI join against the seen table.  False positives only
+    cost extra anti-join input, never correctness — final membership is
+    EXACT, which the north rule's "matching URL-seen membership" requires.
 
 Sizing (documented formula, SURVEY.md §7.3): bits = -n * ln(p) / (ln 2)^2.
-For the 10^10-URL target at p = 0.01 that is ~1.2 * 10^11 bits ≈ 14.4 GiB,
-sharded over ``n_partitions`` binary rows (1024 partitions → ~14 MiB per
-bitmap, each comfortably a single Arrow batch).  Tests exercise the same
-code at small n.
+For 10^10 URLs at p = 0.01 that is ~1.2 * 10^11 bits ≈ 14.4 GiB, sharded
+over ``n_partitions`` rows (1024 partitions → ~14 MiB each).  Tests
+exercise the same code at small n.
 
-The bitmap column never travels through a shuffle wider than its own
-partition row: probes and inserts cogroup candidates with their single
-matching bitmap row by ``pid``.
+Index derivation (identical in the numpy and Catalyst implementations, and
+ANSI-overflow-safe): h1' = pmod(xxhash64('h1', uri), 2^31),
+h2' = pmod(xxhash64('h2', uri), 2^31) | 1; index_i = (h1' + i*h2') % bits
+for i in 0..k-1 (Kirsch-Mitzenmacher double hashing).
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator  # noqa: F401
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -39,124 +43,102 @@ from pyspark.sql import DataFrame, SparkSession
 BLOOM_SCHEMA = T.StructType(
     [
         T.StructField("pid", T.IntegerType(), False),
-        T.StructField("bitmap", T.BinaryType(), False),
+        T.StructField("words", T.ArrayType(T.LongType(), False), False),
     ]
 )
 
+# filters at or below this total size take the broadcast/JVM probe path
+BROADCAST_BLOOM_MAX_BYTES = 512 * 1024 * 1024
+
+_H31 = 1 << 31
+
 
 def bloom_params(expected_n: int, fpp: float = 0.01, n_partitions: int = 64):
-    """(n_partitions, bits_per_partition, k hashes). bits rounded to bytes."""
-    total_bits = max(1024, int(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
-    bits = ((total_bits // n_partitions) + 7) // 8 * 8
+    """(n_partitions, bits_per_partition, k). bits rounded to 64."""
+    total_bits = max(4096, int(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
+    bits = ((total_bits // n_partitions) + 63) // 64 * 64
     k = max(1, round(math.log(2) * total_bits / max(1, expected_n)))
     return n_partitions, bits, min(k, 16)
 
 
 def empty_bloom(spark: SparkSession, n_partitions: int, bits: int) -> DataFrame:
-    zero = bytearray(bits // 8)
-    rows = [(p, bytes(zero)) for p in range(n_partitions)]
+    zero = [0] * (bits // 64)
+    rows = [(p, zero) for p in range(n_partitions)]
     return spark.createDataFrame(rows, schema=BLOOM_SCHEMA)
 
 
 def _with_hashes(df: DataFrame, uri_col: str, n_partitions: int) -> DataFrame:
-    """JVM-side hashing: partition id + two independent 64-bit hashes
-    (Kirsch-Mitzenmacher double hashing gives k index functions)."""
+    """JVM-side hashing: partition id + the two reduced index hashes."""
     c = F.col(uri_col)
     return (
-        df.withColumn("pid", F.pmod(F.xxhash64(F.lit("pid"), c), F.lit(n_partitions)).cast("int"))
-        .withColumn("h1", F.xxhash64(F.lit("h1"), c))
-        .withColumn("h2", F.xxhash64(F.lit("h2"), c))
+        df.withColumn(
+            "pid", F.pmod(F.xxhash64(F.lit("pid"), c), F.lit(n_partitions)).cast("int")
+        )
+        .withColumn("h1", F.pmod(F.xxhash64(F.lit("h1"), c), F.lit(_H31)))
+        .withColumn(
+            "h2", F.pmod(F.xxhash64(F.lit("h2"), c), F.lit(_H31)).bitwiseOR(F.lit(1))
+        )
     )
 
 
 def _indices(h1: np.ndarray, h2: np.ndarray, k: int, bits: int) -> np.ndarray:
-    """(len, k) bit indices, uint64 wrap-around arithmetic."""
-    a = h1.astype(np.uint64)
-    b = h2.astype(np.uint64)
-    ks = np.arange(k, dtype=np.uint64)
-    return (a[:, None] + ks[None, :] * b[:, None]) % np.uint64(bits)
-
-
-# Below this total filter size the whole bloom is shipped to every task and
-# probed in a shuffle-free mapInPandas; above it, candidates shuffle to
-# their bitmap's partition (cogroup) — the only option when the filter is
-# tens of GiB (the 10^10-URL sizing).  512 MiB is a comfortable executor
-# broadcast budget.
-BROADCAST_BLOOM_MAX_BYTES = 512 * 1024 * 1024
+    """(len, k) bit indices; mirrors the Catalyst expression exactly.
+    h1/h2 arrive already reduced to 31 bits by _with_hashes, so
+    h1 + i*h2 < 2^36 — no overflow in either engine."""
+    ks = np.arange(k, dtype=np.int64)
+    return (
+        h1.astype(np.int64)[:, None] + ks[None, :] * h2.astype(np.int64)[:, None]
+    ) % np.int64(bits)
 
 
 def bloom_probe(
     candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
     n_partitions: int,
 ) -> DataFrame:
-    """candidates + boolean ``maybe_seen``. Mode auto-selected by size."""
+    """candidates + boolean ``maybe_seen``. Physical mode by filter size."""
     if n_partitions * (bits // 8) <= BROADCAST_BLOOM_MAX_BYTES:
-        return _bloom_probe_broadcast(candidates, bloom, uri_col, k, bits, n_partitions)
+        return _bloom_probe_jvm(candidates, bloom, uri_col, k, bits, n_partitions)
     return _bloom_probe_cogroup(candidates, bloom, uri_col, k, bits, n_partitions)
 
 
-def _bloom_probe_broadcast(
+def _bloom_probe_jvm(
     candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
     n_partitions: int,
 ) -> DataFrame:
-    """Shuffle-free probe: bitmaps broadcast once per executor, candidates
-    stream through mapInPandas in place.  The hashes are still computed
-    JVM-side; Python does only the numpy bit tests."""
-    spark = candidates.sparkSession
-    bitmaps = {
-        int(r["pid"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
-        for r in bloom.collect()
-    }
-    bc = spark.sparkContext.broadcast(bitmaps)
+    """Pure-Catalyst probe: broadcast join on pid + k getbit tests in
+    codegen.  No shuffle (broadcast), no Python."""
     cand = _with_hashes(candidates, uri_col, n_partitions)
-    cols = [c for c in cand.columns if c not in ("pid", "h1", "h2")]
-    out_schema = T.StructType(
-        [f for f in cand.schema.fields if f.name in cols]
-        + [T.StructField("maybe_seen", T.BooleanType(), False)]
-    )
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bm = bc.value
-        for pdf in batches:
-            idx = _indices(pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), k, bits)
-            byte_i = (idx >> np.uint64(3)).astype(np.int64)
-            bit_i = (idx & np.uint64(7)).astype(np.uint8)
-            pid = pdf["pid"].to_numpy()
-            res = np.zeros(len(pdf), dtype=bool)
-            for p in np.unique(pid):
-                m = pid == p
-                bmp = bm.get(int(p))
-                if bmp is None:
-                    continue
-                hit = (bmp[byte_i[m]] >> bit_i[m]) & 1
-                res[m] = hit.all(axis=1)
-            out = pdf[cols].copy()
-            out["maybe_seen"] = res
-            yield out
-
-    return cand.mapInPandas(probe, schema=out_schema)
+    j = cand.join(F.broadcast(bloom), "pid", "left")
+    test = F.lit(True)
+    for i in range(k):
+        idx = F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(bits))
+        word = F.element_at(F.col("words"), F.shiftright(idx, 6).cast("int") + 1)
+        bit = F.call_function("getbit", word, F.pmod(idx, F.lit(64)).cast("int"))
+        test = test & (bit == 1)
+    maybe = F.when(F.col("words").isNull(), F.lit(False)).otherwise(test)
+    return j.withColumn("maybe_seen", maybe).drop("pid", "h1", "h2", "words")
 
 
 def _bloom_probe_cogroup(
     candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
     n_partitions: int,
 ) -> DataFrame:
+    """Shuffle-cogroup probe for filters too large to broadcast."""
     cand = _with_hashes(candidates, uri_col, n_partitions)
     out_schema = T.StructType(
-        cand.schema.fields[:-2] + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        [f for f in cand.schema.fields if f.name not in ("h1", "h2")]
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
-    cols = [f.name for f in cand.schema.fields[:-2]]  # drop h1,h2; keep pid
+    cols = [f.name for f in cand.schema.fields if f.name not in ("h1", "h2")]
 
     def probe(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         if len(bdf) == 0:
             res = np.zeros(len(cdf), dtype=bool)
         else:
-            bitmap = np.frombuffer(bdf["bitmap"].iloc[0], dtype=np.uint8)
+            words = np.asarray(bdf["words"].iloc[0], dtype=np.int64).view(np.uint64)
             idx = _indices(cdf["h1"].to_numpy(), cdf["h2"].to_numpy(), k, bits)
-            byte_i = (idx >> np.uint64(3)).astype(np.int64)
-            bit_i = (idx & np.uint64(7)).astype(np.uint8)
-            hit = (bitmap[byte_i] >> bit_i) & 1
-            res = hit.all(axis=1)
+            hit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+            res = hit.astype(bool).all(axis=1)
         out = cdf[cols].copy()
         out["maybe_seen"] = res
         return out
@@ -179,15 +161,13 @@ def bloom_insert(
     def insert(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
         if len(bdf):
-            bitmap = np.frombuffer(bdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+            words = np.asarray(bdf["words"].iloc[0], dtype=np.int64).view(np.uint64).copy()
         else:
-            bitmap = np.zeros(bits // 8, dtype=np.uint8)
+            words = np.zeros(bits // 64, dtype=np.uint64)
         if len(cdf):
-            idx = _indices(cdf["h1"].to_numpy(), cdf["h2"].to_numpy(), k, bits)
-            byte_i = (idx >> np.uint64(3)).astype(np.int64).ravel()
-            bit_i = (idx & np.uint64(7)).astype(np.uint8).ravel()
-            np.bitwise_or.at(bitmap, byte_i, np.uint8(1) << bit_i)
-        return pd.DataFrame({"pid": [pid], "bitmap": [bitmap.tobytes()]})
+            idx = _indices(cdf["h1"].to_numpy(), cdf["h2"].to_numpy(), k, bits).ravel()
+            np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+        return pd.DataFrame({"pid": [pid], "words": [words.view(np.int64).tolist()]})
 
     return (
         cand.groupBy("pid")
@@ -215,10 +195,10 @@ def filter_unseen(
     if bloom is None:
         return candidates.join(seen.select(uri_col), uri_col, "left_anti")
     probed = bloom_probe(candidates, bloom, uri_col, k, bits, n_partitions)
-    # Both union branches consume `probed`; without materialization Spark
-    # would run the Python probe twice (once per branch).  A lazy local
-    # checkpoint computes it once and truncates lineage.
-    probed = probed.localCheckpoint(eager=False)
+    if n_partitions * (bits // 8) > BROADCAST_BLOOM_MAX_BYTES:
+        # cogroup mode runs Python: materialize so the two union branches
+        # below don't execute the probe twice
+        probed = probed.localCheckpoint(eager=False)
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select(uri_col), uri_col, "left_anti")
