@@ -86,12 +86,27 @@ def fingerprint(
     gram_hashes = F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
-    n_windows = F.greatest(F.size(gram_hashes) - window + 1, F.lit(1))
-    widx = F.sequence(F.lit(0), n_windows - 1)
-    mins = F.transform(
-        widx, lambda i: F.array_min(F.slice(gram_hashes, i + 1, window))
+    # The sliding-window min runs as posexplode + an analytic window, NOT a
+    # nested transform-over-slice: Catalyst inlines nested higher-order
+    # lambdas (no common-subexpression reuse across array elements), which
+    # turns the expression form quadratic in document length — measured
+    # 200s vs 2s on 5k documents.  The exploded form is linear and the
+    # shuffle is keyed by doc id, so it scales with the corpus.
+    from pyspark.sql import Window
+
+    g = docs.select(F.col(id_col), F.posexplode(gram_hashes).alias("pos", "gh"))
+    w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    w_cnt = Window.partitionBy(id_col)
+    mins = (
+        g.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("gh").over(w_min).alias("m"),
+            F.count(F.lit(1)).over(w_cnt).alias("n"),
+        )
+        # only full windows (plus the single short window of a short doc)
+        .where((F.col("pos") <= F.col("n") - window) | (F.col("pos") == 0))
     )
-    return docs.select(
-        F.col(id_col),
-        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    return mins.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("m")).alias("fingerprints")
     )
