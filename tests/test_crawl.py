@@ -128,6 +128,37 @@ def test_fetched_images_verify(spark, crawled):
     assert bad == []
 
 
+def test_crawl_index_converges_to_batch(spark, crawled):
+    """The crawl-maintained query-table index (incremental T1-T5 per epoch)
+    equals a from-scratch batch build over the pages crawled so far — the
+    reference's master invariant, running live inside the crawl loop."""
+    import pyspark.sql.functions as F
+
+    from webindex_spark.operators import index_batch
+
+    cat, _ = crawled
+    index_pages = cat.table("index_pages").read(spark).cache()
+    got_rows = {tuple(r) for r in cat.table("index_rows").read(spark).collect()}
+    buc, bdc, bir = index_batch.build_index(index_pages, cache=False)
+    exp_rows = {tuple(r) for r in bir.collect()}
+    # the incremental path writes page:cur for every put (the loader gate
+    # P2 means 0-link pages never arrive in the reference; our crawl can
+    # fetch dead-end pages, whose page:cur the batch renderer skips)
+    zero_link = {
+        r["uri"] for r in index_pages.where(F.size("outbound_links") == 0).collect()
+    }
+    got_minus_gate = {
+        t for t in got_rows
+        if not (t[1] == "page" and t[2] == "cur" and t[0][2:] in zero_link)
+    }
+    assert got_minus_gate == exp_rows
+
+    got_uc = {(r["uri"], r["links_to"], r["docs"])
+              for r in cat.table("uri_counts").read(spark).collect()}
+    exp_uc = {(r["uri"], r["links_to"], r["docs"]) for r in buc.collect()}
+    assert got_uc == exp_uc
+
+
 def test_metrics_manifest(spark, crawled):
     cat, _ = crawled
     man = cat.table("frontier").manifest()

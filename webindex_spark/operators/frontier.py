@@ -87,7 +87,17 @@ METER_NAMES = [
 TABLES = [
     "frontier", "seen", "bloom", "fetch_log", "pages_state",
     "fetched_images", "uri_counts", "domain_counts",
+    "index_pages", "index_rows",
 ]
+
+INDEX_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.StringType(), False),
+        T.StructField("cf", T.StringType(), False),
+        T.StructField("cq", T.StringType(), False),
+        T.StructField("v", T.StringType(), False),
+    ]
+)
 
 
 @dataclass
@@ -169,6 +179,8 @@ def init_crawl(spark: SparkSession, cat: Catalog, seeds: DataFrame, cfg: CrawlCo
         )
         .select(*[f.name for f in FRONTIER_SCHEMA.fields])
     )
+    from webindex_spark.operators.index_batch import PAGE_SCHEMA
+
     empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
     lineage = {"seeds": "input"}
     cat.table("frontier").commit(frontier, epoch=0, lineage=lineage)
@@ -176,6 +188,11 @@ def init_crawl(spark: SparkSession, cat: Catalog, seeds: DataFrame, cfg: CrawlCo
     cat.table("bloom").commit(seen_ops.empty_bloom(spark, n_parts, bits), epoch=0)
     cat.table("fetch_log").commit(empty(FETCH_LOG_SCHEMA), epoch=0)
     cat.table("uri_counts").commit(empty(URI_COUNTS_SCHEMA), epoch=0)
+    cat.table("domain_counts").commit(
+        spark.createDataFrame([], "rev_domain string, pagecount long"), epoch=0
+    )
+    cat.table("index_pages").commit(empty(PAGE_SCHEMA), epoch=0)
+    cat.table("index_rows").commit(empty(INDEX_ROW_SCHEMA), epoch=0)
 
 
 def run_epoch(
@@ -269,46 +286,60 @@ def run_epoch(
         .select(*[f.name for f in FRONTIER_SCHEMA.fields])
     )
 
-    # 7. index-state merge (T3 as a batch MERGE): docs+1 per fetched page,
-    #    links_to+1 per distinct (page, target)
-    own = fetched_pages.select(
-        "uri", F.lit(0).cast("long").alias("links_to"), F.lit(1).cast("long").alias("docs")
+    # 7. index maintenance: fetched pages become 'put' deltas for the
+    #    incremental engine (operators/delta.py, T1-T5) — the exact code
+    #    path the standalone tests lock to batch-recompute equivalence.
+    from webindex_spark.operators import delta as delta_ops
+    from webindex_spark.operators.index_batch import PAGE_SCHEMA, normalize_links
+
+    index_pages_prev = _read_epoch(spark, cat, "index_pages", prev)
+    index_rows_prev = _read_epoch(spark, cat, "index_rows", prev)
+    domain_counts_prev = _read_epoch(spark, cat, "domain_counts", prev)
+
+    ex = fetched_pages.select(
+        F.col("uri").alias("page_uri"), F.explode("out_urls").alias("url")
     )
-    lnk = (
-        fetched_pages.select(F.col("uri").alias("src"), F.explode("out_urls").alias("url"))
+    link_structs = canonicalize(ex, "url").select(
+        "page_uri",
+        F.struct(
+            F.col("url"), F.col("uri"), F.lit("").alias("anchor_text")
+        ).alias("l"),
     )
-    lnk = canonicalize(lnk, "url").select("src", "uri").distinct().select(
-        "uri", F.lit(1).cast("long").alias("links_to"), F.lit(0).cast("long").alias("docs")
+    links_by_page = link_structs.groupBy("page_uri").agg(
+        F.collect_list("l").alias("outbound_links")
     )
-    delta = (
-        own.unionByName(lnk)
-        .groupBy("uri")
-        .agg(F.sum("links_to").alias("d_links"), F.sum("docs").alias("d_docs"))
-        .cache()
-    )
-    uri_counts_next = (
-        uri_counts.join(delta, "uri", "full_outer")
+    deltas = (
+        fetched_pages.select("uri", "url", "title")
+        .join(links_by_page, fetched_pages.uri == links_by_page.page_uri, "left")
         .select(
+            "url",
             "uri",
-            (F.coalesce("links_to", F.lit(0)) + F.coalesce("d_links", F.lit(0)))
-            .cast("long")
-            .alias("links_to"),
-            (F.coalesce("docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
-            .cast("long")
-            .alias("docs"),
+            F.lit(None).cast("string").alias("crawl_date"),
+            F.lit(None).cast("string").alias("server"),
+            "title",
+            normalize_links(
+                F.coalesce(
+                    "outbound_links",
+                    F.array().cast(PAGE_SCHEMA["outbound_links"].dataType),
+                )
+            ).alias("outbound_links"),
+            F.lit("put").alias("op"),
         )
-        .where((F.col("links_to") != 0) | (F.col("docs") != 0))
     )
-    domain_counts_next = (
-        uri_counts_next.select(F.split_part("uri", F.lit(">"), F.lit(1)).alias("rev_domain"))
-        .groupBy("rev_domain")
-        .agg(F.count(F.lit(1)).alias("pagecount"))
+    index_pages_next, uri_deltas, page_mutations = delta_ops.diff_pages(
+        index_pages_prev, deltas
+    )
+    uri_counts_next, changes = delta_ops.merge_uri_counts(uri_counts, uri_deltas)
+    changes = changes.cache()
+    domain_counts_next = delta_ops.merge_domain_counts(domain_counts_prev, changes)
+    index_rows_next = delta_ops.update_index_rows(
+        index_rows_prev, changes, domain_counts_prev, domain_counts_next, page_mutations
     )
 
     # ------------------------------------------------------------- metrics
     n_pages = fetched_pages.count()
-    n_links = delta.where(F.col("d_links") > 0).agg(F.sum("d_links")).collect()[0][0] or 0
-    changed = delta.count()
+    n_links = deltas.agg(F.sum(F.size("outbound_links"))).collect()[0][0] or 0
+    changed = changes.count()
     old_domains = uri_counts.select(
         F.split_part("uri", F.lit(">"), F.lit(1)).alias("d")
     ).distinct()
@@ -344,6 +375,8 @@ def run_epoch(
         "fetch_log": _read_epoch(spark, cat, "fetch_log", prev).unionByName(fetch_log),
         "seen": seen_next,
         "bloom": bloom_next,
+        "index_pages": index_pages_next,
+        "index_rows": index_rows_next,
         "domain_counts": domain_counts_next,
         "uri_counts": uri_counts_next,
         "frontier": frontier_next,
@@ -359,7 +392,7 @@ def run_epoch(
             partition_metrics=part_metrics,
         )
 
-    for c in (gated, scheduled, fetched_pages, newly_seen, delta):
+    for c in (gated, scheduled, fetched_pages, newly_seen, changes):
         c.unpersist()
     return metrics
 

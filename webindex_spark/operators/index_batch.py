@@ -207,6 +207,34 @@ def build_index(pages: DataFrame, cache: bool = True):
     return uri_counts, domain_counts, index_rows
 
 
+def observe_stats(pages: DataFrame):
+    """A5: the reference's driver accumulators (IndexStats.java:30-56 —
+    numPages/numEmpty/numExternalLinks) as a Spark ``observe``: collected
+    for free during whatever action materializes the plan, no extra pass.
+    Returns (df, Observation); read ``observation.get`` after an action."""
+    from pyspark.sql import Observation
+
+    obs = Observation("index_stats")
+    observed = pages.observe(
+        obs,
+        F.count(F.when(F.col("uri").isNotNull(), 1)).alias("num_pages"),
+        F.count(F.when(F.col("uri").isNull(), 1)).alias("num_empty"),
+        F.sum(F.size(F.coalesce("outbound_links", F.array()))).alias("num_external_links"),
+    )
+    return observed, obs
+
+
+def calculate_splits(index_rows: DataFrame, num_splits: int) -> list[str]:
+    """O2 (IndexUtil.calculateSplits:199-213 + CalcSplits.java:64): sample
+    ``num_splits`` rows, truncate keys to 29 bytes, return the sorted split
+    points a pre-split sorted store would use.  The Spark-native sink
+    doesn't need this (repartitionByRange samples internally — the same
+    algorithm); provided for reference parity and for exporting splits to
+    an external KV store."""
+    sample = index_rows.select("row").orderBy(F.rand(42)).limit(num_splits).collect()
+    return sorted({r["row"].encode("utf-8")[:29].decode("utf-8", "ignore") for r in sample})
+
+
 def sorted_index_rows(index_rows: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Globally sorted (row, cf, cq) — the bulk-load order the reference's
     sink requires (IndexEnv.java:234-245).  ``orderBy`` range-partitions by
