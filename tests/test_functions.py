@@ -206,6 +206,48 @@ def test_parse_frame_vectorized_matches_scalar():
     assert df["valid"].tolist() == [True] * len(VALID_URLS) + [False] * len(INVALID_URLS)
 
 
+# -------------------------------------------------- property-based roundtrips
+
+_LABEL = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8).filter(
+    lambda s: not s.isdigit() and not s.startswith("-") and not s.endswith("-")
+)
+
+
+@given(
+    labels=st.lists(_LABEL, min_size=0, max_size=3),
+    suffix=st.sampled_from(["com", "org", "co.uk", "com.au", "io", "net"]),
+    secure=st.booleans(),
+    port=st.one_of(st.none(), st.integers(min_value=1, max_value=65535)),
+    path=st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789/._-?#&=%", max_size=20
+    ),
+)
+def test_url_roundtrip_property(labels, suffix, secure, port, path):
+    """parse -> toUri -> fromUri -> toString is a fixed point for any
+    structurally valid URL (the reference asserts this only on fixed
+    vectors; we fuzz it)."""
+    host = ".".join(labels + ["site", suffix])
+    proto = "https" if secure else "http"
+    portstr = f":{port}" if port is not None else ""
+    raw = f"{proto}://{host}{portstr}/{path}"
+    parsed = urlnorm.parse_one(raw)
+    assert parsed is not None, raw
+    back = urlnorm.from_uri(parsed["uri"])
+    assert back["url"] == parsed["url_norm"]
+    assert back["host"] == parsed["host"]
+    assert back["domain"] == parsed["domain"]
+    # canonicalization is idempotent
+    again = urlnorm.parse_one(parsed["url_norm"])
+    assert again is not None and again["uri"] == parsed["uri"]
+
+
+@given(st.text(max_size=30))
+def test_parse_never_crashes(garbage):
+    """URL.isValid never throws (URL.java:153-161) — ours likewise."""
+    urlnorm.parse_one("http://" + garbage)
+    urlnorm.parse_one(garbage)
+
+
 # ------------------------------------------------------------------ lexicoder
 
 LEX_VECTORS = [(0, "fefeff"), (1, "fefdfefdff"), (2, "fefdfdff"), (3, "fefdfcff")]

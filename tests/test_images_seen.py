@@ -110,6 +110,24 @@ def test_probe_modes_agree(spark):
     assert all(a[f"u{i}"] for i in range(300))
 
 
+def test_filter_unseen_cogroup_path(spark, monkeypatch):
+    """Force the giant-filter (cogroup/numpy) path through filter_unseen
+    and verify exactness still holds."""
+    monkeypatch.setattr(seen_ops, "BROADCAST_BLOOM_MAX_BYTES", 0)
+    n_parts, bits, k = seen_ops.bloom_params(1000, 0.01, 4)
+    inserted = [f"com.x>>o>/{i}" for i in range(200)]
+    probes = [f"com.x>>o>/{i}" for i in range(400)]
+    seen_df = spark.createDataFrame([(u,) for u in inserted], ["uri"])
+    cand = spark.createDataFrame([(u,) for u in probes], ["uri"])
+    bloom = seen_ops.bloom_insert(
+        seen_df, seen_ops.empty_bloom(spark, n_parts, bits), "uri", k, bits, n_parts
+    )
+    unseen = seen_ops.filter_unseen(
+        cand, seen_df, bloom, "uri", k=k, bits=bits, n_partitions=n_parts
+    )
+    assert {r["uri"] for r in unseen.collect()} == set(probes[200:])
+
+
 def test_bloom_insert_idempotent(spark):
     n_parts, bits, k = seen_ops.bloom_params(100, 0.01, 4)
     uris = spark.createDataFrame([(f"u{i}",) for i in range(50)], ["uri"])

@@ -19,8 +19,11 @@ Two paths, as the training-pipeline brief requires:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b) -> F.Column:
@@ -69,15 +72,25 @@ def add_signature(
     df: DataFrame, dim: int, n_planes: int = 12, table: int = 0,
     vec_col: str = "embedding", out_col: str = "bucket",
 ) -> DataFrame:
-    """Random-hyperplane signature as a packed long — plane arrays are
-    literals, the dot products run in codegen."""
-    planes = _planes(dim, n_planes, table)
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = sig + bit.cast("long") * F.lit(1 << i).cast("long")
-    return df.withColumn(out_col, sig)
+    """Random-hyperplane signature as a packed long.
+
+    One Arrow-batched matmul per batch (vectors × planesᵀ, sign → bits).
+    A pure-expression form (n_planes × dim literal constants) was tried
+    first and rejected: thousands of constants per projection blow up
+    codegen compile time, while the numpy matmul is a single BLAS call —
+    this is the legitimate pandas-UDF case (dense numeric kernel)."""
+    planes_t = np.asarray(_planes(dim, n_planes, table), dtype=np.float64).T
+
+    @pandas_udf(T.LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        bits = (m @ planes_t) >= 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return df.withColumn(out_col, sig(F.col(vec_col)))
 
 
 def lsh_topk(
