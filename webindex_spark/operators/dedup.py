@@ -49,18 +49,15 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """(id, shingle_hash) distinct word n-gram shingles, hashed JVM-side.
 
-    Tokenize -> sliding window via transform over an index sequence ->
-    explode -> xxhash64.  Everything whole-stage-codegen'd.
+    Built on the explode+lead n-gram stream (see
+    textstats.exploded_ngrams for why the transform/slice form is avoided).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    from webindex_spark.operators.textstats import exploded_ngrams
+
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .select("id", F.xxhash64("shingle").alias("shingle_hash"))
+        exploded_ngrams(docs, id_col, text_col, n)
+        .where(F.length("gram") > 0)
+        .select("id", F.xxhash64("gram").alias("shingle_hash"))
         .distinct()
     )
 

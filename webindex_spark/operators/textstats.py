@@ -13,6 +13,41 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+def exploded_ngrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, pos, gram): word n-grams via posexplode + lead windows.
+
+    The obvious ``transform(sequence(...), i -> concat_ws(slice(toks,...)))``
+    form re-evaluates the tokenizer per array element (Catalyst inlines
+    outer expressions into higher-order lambdas — no CSE), costing
+    O(tokens × grams) per document.  This form tokenizes once, explodes,
+    and builds each gram from ``lead`` values over a doc-keyed window —
+    linear, one shuffle, and the (id, gram) stream is exactly what the
+    dedup/fingerprint consumers need anyway.
+
+    Documents shorter than ``n`` tokens yield their single whole-document
+    gram (``concat_ws`` skips the null leads), matching ``slice``
+    semantics.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = docs.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    g = t.select(
+        "id", "pos",
+        F.concat_ws(" ", *parts).alias("gram"),
+        cnt.alias("__cnt"),
+    )
+    return g.where(
+        (F.col("pos") <= F.col("__cnt") - n)
+        | ((F.col("pos") == 0) & (F.col("__cnt") < n))
+    ).drop("__cnt")
+
+
 ENGLISH_STOPWORDS = [
     "the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
     "for", "on", "are", "as", "with", "his", "they", "at", "be", "this",
@@ -80,21 +115,11 @@ def fingerprint(
     fingerprint set is one array_distinct.  Returns (id, fingerprints:
     array<bigint> sorted).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_grams = F.greatest(F.size(toks) - k + 1, F.lit(1))
-    idx = F.sequence(F.lit(0), n_grams - 1)
-    gram_hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
-    # The sliding-window min runs as posexplode + an analytic window, NOT a
-    # nested transform-over-slice: Catalyst inlines nested higher-order
-    # lambdas (no common-subexpression reuse across array elements), which
-    # turns the expression form quadratic in document length — measured
-    # 200s vs 2s on 5k documents.  The exploded form is linear and the
-    # shuffle is keyed by doc id, so it scales with the corpus.
     from pyspark.sql import Window
 
-    g = docs.select(F.col(id_col), F.posexplode(gram_hashes).alias("pos", "gh"))
+    g = exploded_ngrams(docs, id_col, text_col, k).select(
+        F.col("id").alias(id_col), "pos", F.xxhash64("gram").alias("gh")
+    )
     w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     w_cnt = Window.partitionBy(id_col)
     mins = (

@@ -564,20 +564,41 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True word-3-gram Jaccard between consecutive documents — the exact
     verifier of the dedup stack, oracle-checkable because the pair set is
     defined relationally (doc_id, doc_id+1) instead of via LSH buckets."""
+    from webindex_spark.operators.textstats import exploded_ngrams
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    # |A∩B| via an exploded distinct-gram join rather than array_intersect
+    # on joined gram arrays: array expressions re-evaluate per use (no CSE
+    # across higher-order lambdas), and the exploded form is one hash join
+    # keyed by (doc, gram) — linear and shuffle-parallel
+    g = (
+        exploded_ngrams(docs, "doc_id", "text", 3)
+        .select(F.col("id").alias("doc_id"), "gram")
+        .distinct()
     )
-    g = docs.select(F.col("doc_id"), grams.alias("grams"))
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = g.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
-                 F.col("grams").alias("gb"))
-    return a.join(b, "id_a").select(
-        "id_a", "id_b",
-        (F.size(F.array_intersect("ga", "gb")) /
-         F.size(F.array_union("ga", "gb"))).cast("double").alias("jaccard"),
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.gram") == F.col("b.gram")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    b = sizes.select((F.col("doc_id") - 1).alias("id_a"),
+                     F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        a.join(b, "id_a")
+        .join(inter, "id_a", "left")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce("n_inter", F.lit(0))
+             / (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_inter", F.lit(0))))
+            .cast("double").alias("jaccard"),
+        )
     )
 
 
