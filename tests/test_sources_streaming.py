@@ -41,6 +41,52 @@ def test_read_pages_json_roundtrip(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_running_counts_stateful(spark, tmp_path):
+    """applyInPandasWithState counter across two micro-batches: state must
+    carry over (the streaming twin of the UriInfo combine queue)."""
+    from webindex_spark.streaming import event_stream
+
+    src = tmp_path / "ev2"
+    os.makedirs(src)
+
+    def write_batch(name, start, n):
+        rows = [
+            {"event_id": start + i, "ts": "2026-01-01T00:00:00Z",
+             "user_id": i, "event_type": ["click", "view"][i % 2],
+             "value": 1.0, "props": "{}"}
+            for i in range(n)
+        ]
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b1.json", 0, 10)
+    stream = (
+        spark.readStream.schema(event_stream.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            got[r["event_type"]] = r["total"]
+
+    def run_once():
+        q = (
+            event_stream.running_counts(stream)
+            .writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert got == {"click": 5, "view": 5}
+    write_batch("b2.json", 100, 6)
+    run_once()  # restart from checkpoint — state carries over
+    # batch1: 5 click + 5 view; batch2: 3 click + 3 view => totals carry
+    assert got == {"click": 8, "view": 8}
+
+
 def test_streaming_windowed_rollup(spark, tmp_path):
     """File-source stream, availableNow trigger, watermark + window agg;
     result must equal the equivalent batch aggregation."""
