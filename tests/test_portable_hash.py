@@ -1,0 +1,79 @@
+"""Engine-portable hash contract: the Spark Column expressions and the
+DuckDB SQL twins in functions/portable_hash.py must agree bit-exactly —
+this is what lets the driver gate verify the minhash/simhash/winnowing/ANN
+pipelines end-to-end (plans/crawl_queries.py) instead of rows-only."""
+
+import duckdb
+import pyspark.sql.functions as F
+
+from webindex_spark.functions import portable_hash as ph
+
+STRINGS = [
+    "hello world", "a", "", "spark fast merge", "the quick brown fox",
+    "x" * 200, "MiXeD CaSe 123 !?", "tok1 tok2 tok3 tok4",
+]
+
+
+def test_phash_parity_spark_vs_duckdb(spark):
+    df = spark.createDataFrame([(s,) for s in STRINGS], "s string")
+    got = df.select(
+        "s",
+        ph.phash31(F.col("s")).alias("h31"),
+        ph.phash62(F.col("s")).alias("h62"),
+        ph.fold31([F.length("s").cast("long"), ph.phash31(F.col("s"))]).alias("f31"),
+    ).collect()
+    con = duckdb.connect()
+    vals = ", ".join(f"({s!r})" for s in STRINGS)
+    sql = (
+        f"SELECT s, {ph.sql_phash31('s')} AS h31, {ph.sql_phash62('s')} AS h62, "
+        f"{ph.sql_fold31(['CAST(length(s) AS BIGINT)', ph.sql_phash31('s')])} AS f31 "
+        f"FROM (VALUES {vals}) t(s)"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    for r in got:
+        assert (r["h31"], r["h62"], r["f31"]) == want[r["s"]], r["s"]
+    # range contracts: 31-bit and 62-bit positive
+    for r in got:
+        assert 0 <= r["h31"] < (1 << 31)
+        assert 0 <= r["h62"] < (1 << 62)
+
+
+def test_simhash_portable_matches_bitwise_definition(spark):
+    """Lane-packed aggregation == the naive per-bit sign definition."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "one two three four five six seven"), (3, "zzz")],
+        ["doc_id", "text"],
+    )
+    from webindex_spark.operators import dedup
+
+    got = {r["id"]: r["simhash"]
+           for r in dedup.simhash(docs, hash_fn=ph.phash62, nbits=62).collect()}
+
+    def py_phash(s, base):
+        h = 0
+        for c in s:
+            h = (h * base + ord(c)) % (1 << 31)
+        return h
+
+    import re
+    for did, text in [(0, "alpha beta gamma delta"), (2, "one two three four five six seven"), (3, "zzz")]:
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        hs = [py_phash(t, 31) + py_phash(t, 131) * (1 << 31) for t in toks]
+        sig = 0
+        for i in range(62):
+            s = sum(1 if (h >> i) & 1 else -1 for h in hs)
+            if s > 0:
+                sig |= 1 << i
+        assert got[did] == sig, did
+    assert got[0] == got[1]  # identical text -> identical fingerprint
+
+
+def test_schedule_query_runs_production_operator(spark):
+    """q_schedule must route through politeness.schedule (the salted
+    two-phase path): its plan contains BOTH window stages."""
+    from webindex_spark.plans.crawl_queries import q_schedule
+
+    plan = q_schedule(spark, "/root/testdata/sf0.001")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+    assert "__salt" in plan or "_salt" in plan, plan

@@ -1,0 +1,79 @@
+"""Engine-portable deterministic hashes — Spark Column + DuckDB SQL twins.
+
+The production dedup/fingerprint operators hash JVM-side with ``xxhash64``
+(fast, 64-bit, codegen).  DuckDB has no xxhash64, so queries that must be
+certified by the driver's DuckDB oracle parametrize the operators with
+these *portable* hashes instead: a polynomial rolling hash over the
+string's code points, computed with the exact same integer recurrence in
+both engines (all arithmetic stays far inside int64 so Spark's ANSI mode
+and DuckDB's overflow checks never trigger):
+
+    h = 0;  h = (h * base + codepoint) mod 2^31        # phash31
+    h62 = phash31(s, 31) + phash31(s, 131) * 2^31      # 62-bit variant
+
+Both sides fold strictly left-to-right over the same characters, so the
+values are bit-identical — which is what lets the driver gate verify the
+*whole* minhash/simhash/winnowing pipelines (signature aggregation,
+banding, bucket guards, hamming packing) end to end instead of running a
+weak rows-only check.  The hash is NOT meant to be strong: the pipelines
+only need determinism + dispersion, and collisions (2^31 space) affect
+both engines identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+M31 = 1 << 31
+
+
+def phash31(col: Column | str, base: int = 31) -> Column:
+    """Polynomial rolling hash over code points, mod 2^31 (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(base) + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(M31)
+        ),
+    )
+
+
+def phash62(col: Column | str) -> Column:
+    """62-bit portable hash: two independent-base 31-bit hashes packed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return phash31(c, 31) + phash31(c, 131) * F.lit(M31)
+
+
+def fold31(cols: list[Column], mult: int = 131) -> Column:
+    """Order-sensitive fold of several int64 columns into one 31-bit value
+    (the portable replacement for ``xxhash64(*cols)`` band buckets)."""
+    acc: Column = F.lit(0).cast("long")
+    for c in cols:
+        acc = F.pmod(acc * F.lit(mult) + F.pmod(c, F.lit(M31)), F.lit(M31))
+    return acc
+
+
+# --------------------------------------------------------------- SQL twins
+
+
+def sql_phash31(expr: str, base: int = 31) -> str:
+    """DuckDB SQL computing the same value as :func:`phash31`."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr})+1), "
+        f"i -> CAST(unicode(({expr})[i:i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % {M31})"
+    )
+
+
+def sql_phash62(expr: str) -> str:
+    return f"({sql_phash31(expr, 31)} + {sql_phash31(expr, 131)} * {M31})"
+
+
+def sql_fold31(exprs: list[str], mult: int = 131) -> str:
+    acc = "CAST(0 AS BIGINT)"
+    for e in exprs:
+        acc = f"((({acc}) * {mult} + (({e}) % {M31})) % {M31})"
+    return acc

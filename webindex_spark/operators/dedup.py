@@ -46,18 +46,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             n: int = 3) -> DataFrame:
+             n: int = 3, hash_fn=None) -> DataFrame:
     """(id, shingle_hash) distinct word n-gram shingles, hashed JVM-side.
 
     Built on the explode+lead n-gram stream (see
     textstats.exploded_ngrams for why the transform/slice form is avoided).
+    ``hash_fn`` defaults to ``xxhash64`` (production); the oracle-checked
+    query surface passes the engine-portable polynomial hash so DuckDB can
+    recompute the pipeline (functions/portable_hash.py).
     """
     from webindex_spark.operators.textstats import exploded_ngrams
 
+    hash_fn = hash_fn or F.xxhash64
     return (
         exploded_ngrams(docs, id_col, text_col, n)
         .where(F.length("gram") > 0)
-        .select("id", F.xxhash64("gram").alias("shingle_hash"))
+        .select("id", hash_fn(F.col("gram")).alias("shingle_hash"))
         .distinct()
     )
 
@@ -79,15 +83,21 @@ def minhash_signatures(sh: DataFrame, k: int = 32) -> DataFrame:
 
 
 def lsh_candidates(
-    sig: DataFrame, k: int = 32, bands: int = 8, max_bucket: int = 50
+    sig: DataFrame, k: int = 32, bands: int = 8, max_bucket: int = 50,
+    bucket_fn=None,
 ) -> DataFrame:
-    """Same-band-bucket pairs (id_a < id_b). rows-per-band = k // bands."""
+    """Same-band-bucket pairs (id_a < id_b). rows-per-band = k // bands.
+
+    ``bucket_fn(cols) -> Column`` folds a band's r signature columns into
+    the bucket key; defaults to ``xxhash64`` (portable alternative:
+    portable_hash.fold31)."""
+    bucket_fn = bucket_fn or (lambda cols: F.xxhash64(*cols))
     r = k // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), bucket_fn(cols).alias("bucket"))
         )
     exploded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
@@ -142,48 +152,77 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.7) -> D
 def minhash_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.7,
+    hash_fn=None, bucket_fn=None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
-    sh = shingles(docs, id_col, text_col, n).cache()
+    sh = shingles(docs, id_col, text_col, n, hash_fn).cache()
     sig = minhash_signatures(sh, k)
-    cand = lsh_candidates(sig, k, bands)
+    cand = lsh_candidates(sig, k, bands, bucket_fn=bucket_fn)
     return jaccard_verify(cand, sh, threshold)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash): 64-bit token-weighted sign fingerprint, one aggregate.
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn=None, nbits: int = 64, max_tokens: int = 32767,
+) -> DataFrame:
+    """(id, simhash): nbits-wide token-weighted sign fingerprint.
 
-    bit_i(doc) = sign( Σ_tokens (2*((xxhash64(token)>>i)&1) - 1) ).
+    bit_i(doc) = sign( Σ_tokens (2*((hash(token)>>i)&1) - 1) ), equivalently
+    bit_i = [2*c_i > n] with c_i = #tokens whose hash has bit i set.
+
+    The aggregation is **lane-packed**: a naive form sums nbits separate ±1
+    columns, making every partial-aggregate shuffle row nbits×8 B wide
+    (512 B at nbits=64 — the dominant cost of this operator at scale).
+    Here each aggregate long packs FOUR per-bit set-counts in 15-bit lanes
+    (shifts 0/15/30/45), cutting the shuffle row width 4×.  Lane safety:
+    counts are bounded by ``max_tokens`` (docs are truncated to their first
+    32767 tokens — the standard long-document cap), so a lane never carries
+    (c_i ≤ 0x7FFF) and the running sum stays < 2^61 (ANSI-safe).
+
+    ``hash_fn``/``nbits`` default to xxhash64/64 (production).  The
+    oracle-checked query passes the portable 62-bit polynomial hash
+    (functions/portable_hash.phash62) with nbits=62 so DuckDB recomputes
+    the identical fingerprints.
     """
+    hash_fn = hash_fn or F.xxhash64
     toks = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "tok"),
         )
-        .where(F.length("tok") > 0)
-        .select("id", F.xxhash64("tok").alias("h"))
+        .where((F.length("tok") > 0) & (F.col("pos") < max_tokens))
+        .select("id", hash_fn(F.col("tok")).alias("h"))
     )
-    sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s_{i}")
-            for i in range(64)
-        ]
-    )
-    bit_terms = [
-        F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")).alias(f"b_{i}")
-        for i in range(64)
-    ]
-    withbits = sums.select("id", *bit_terms)
+    lanes = 4
+    n_longs = (nbits + lanes - 1) // lanes
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(n_longs):
+        contrib = F.lit(0).cast("long")
+        for lane in range(lanes):
+            i = j * lanes + lane
+            if i >= nbits:
+                break
+            bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+            contrib = contrib + bit * F.lit(1 << (15 * lane)).cast("long")
+        aggs.append(F.sum(contrib).alias(f"c_{j}"))
+    sums = toks.groupBy("id").agg(*aggs)
     acc = F.lit(0).cast("long")
-    for i in range(63):
-        acc = acc + F.col(f"b_{i}") * F.lit(1 << i).cast("long")
-    # bit 63 is the sign bit of the int64 representation
-    acc = acc + F.when(
-        F.col("b_63") == 1, F.lit(-(1 << 63)).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
-    return withbits.select("id", acc.alias("simhash"))
+    for i in range(nbits):
+        j, lane = divmod(i, lanes)
+        c_i = F.shiftrightunsigned(F.col(f"c_{j}"), 15 * lane).bitwiseAND(
+            F.lit(0x7FFF)
+        )
+        bit = (c_i * 2 > F.col("n")).cast("long")
+        if i == 63:
+            # bit 63 is the sign bit of the int64 representation
+            acc = acc + F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        else:
+            acc = acc + bit * F.lit(1 << i).cast("long")
+    return sums.select("id", acc.alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:

@@ -72,23 +72,42 @@ def add_signature(
     df: DataFrame, dim: int, n_planes: int = 12, table: int = 0,
     vec_col: str = "embedding", out_col: str = "bucket",
 ) -> DataFrame:
-    """Random-hyperplane signature as a packed long.
+    """Single-table random-hyperplane signature as a packed long
+    (one-table convenience wrapper over :func:`add_signatures`)."""
+    sigs = add_signatures(df, dim, n_planes, (table,), vec_col, "__sigs")
+    return sigs.withColumn(out_col, F.col("__sigs")[0]).drop("__sigs")
 
-    One Arrow-batched matmul per batch (vectors × planesᵀ, sign → bits).
-    A pure-expression form (n_planes × dim literal constants) was tried
-    first and rejected: thousands of constants per projection blow up
-    codegen compile time, while the numpy matmul is a single BLAS call —
-    this is the legitimate pandas-UDF case (dense numeric kernel)."""
-    planes_t = np.asarray(_planes(dim, n_planes, table), dtype=np.float64).T
 
-    @pandas_udf(T.LongType())
+def add_signatures(
+    df: DataFrame, dim: int, n_planes: int = 12, tables=(0, 1, 2),
+    vec_col: str = "embedding", out_col: str = "buckets",
+) -> DataFrame:
+    """Random-hyperplane signatures for ALL hash tables in ONE pass:
+    ``out_col`` is an array<long>, one packed signature per table.
+
+    One Arrow-batched matmul per batch (vectors × stacked-planesᵀ, sign →
+    bits) computes every table's signature together — the corpus is
+    scanned once instead of once per table (the round-1 form re-scanned it
+    ``tables``× ).  A pure-expression form (tables × n_planes × dim literal
+    constants) was tried first and rejected: thousands of constants per
+    projection blow up codegen compile time, while the numpy matmul is a
+    single BLAS call — this is the legitimate pandas-UDF case (dense
+    numeric kernel)."""
+    tables = tuple(tables)
+    stacked_t = np.concatenate(
+        [np.asarray(_planes(dim, n_planes, t), dtype=np.float64) for t in tables]
+    ).T  # (dim, len(tables)*n_planes)
+    n_tab = len(tables)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
     def sig(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
-        bits = (m @ planes_t) >= 0
-        out = np.zeros(len(m), dtype=np.int64)
-        for i in range(bits.shape[1]):
-            out |= bits[:, i].astype(np.int64) << i
-        return pd.Series(out)
+        bits = (m @ stacked_t) >= 0  # (rows, n_tab*n_planes)
+        out = np.zeros((len(m), n_tab), dtype=np.int64)
+        for t in range(n_tab):
+            for i in range(n_planes):
+                out[:, t] |= bits[:, t * n_planes + i].astype(np.int64) << i
+        return pd.Series(list(out))
 
     return df.withColumn(out_col, sig(F.col(vec_col)))
 
@@ -99,22 +118,28 @@ def lsh_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "q_id", q_vec_col: str = "q_emb",
 ) -> DataFrame:
-    """ANN top-k: union of per-table bucket joins, exact re-rank inside.
+    """ANN top-k: per-table bucket joins, exact re-rank inside buckets.
 
-    Candidate sets from the ``tables`` independent plane sets are unioned
-    then distinct-ed; only candidates pay the exact cosine.
+    All ``tables`` signatures are computed in a single corpus pass
+    (add_signatures) and posexploded to (table, bucket) join keys; the
+    query side broadcasts.  Candidates are distinct-ed per (query, vector);
+    only candidates pay the exact cosine.
     """
     from pyspark.sql import Window
 
-    cands = None
-    for t in range(tables):
-        c = add_signature(corpus, dim, n_planes, t, vec_col, "bucket")
-        q = add_signature(queries, dim, n_planes, t, q_vec_col, "bucket")
-        pair = c.join(F.broadcast(q), "bucket").where(
-            F.col(id_col) != F.col(q_id_col)
-        ).select(q_id_col, id_col, vec_col, q_vec_col)
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.dropDuplicates([q_id_col, id_col])
+    tabs = tuple(range(tables))
+    c = add_signatures(corpus, dim, n_planes, tabs, vec_col, "__sigs").select(
+        id_col, vec_col, F.posexplode("__sigs").alias("tbl", "bucket")
+    )
+    q = add_signatures(queries, dim, n_planes, tabs, q_vec_col, "__sigs").select(
+        q_id_col, q_vec_col, F.posexplode("__sigs").alias("tbl", "bucket")
+    )
+    cands = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, vec_col, q_vec_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
     scored = cands.select(
         F.col(q_id_col), F.col(id_col),
         cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),

@@ -103,22 +103,25 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def fingerprint(
+def fingerprint_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 5, window: int = 4,
+    k: int = 5, window: int = 4, hash_fn=None,
 ) -> DataFrame:
-    """Winnowing fingerprint: k-gram rolling hashes -> per-window minimum
-    -> distinct set per document (MOSS-style document signature).
+    """Winnowing fingerprint as exploded scalar rows: (id, fingerprint)
+    distinct — the driver-gate/oracle-friendly shape (one row per selected
+    k-gram hash; the array form below is collect_set over this stream).
 
-    Implemented entirely with higher-order functions: the k-gram hash
-    array and the sliding-window min are array transforms; the distinct
-    fingerprint set is one array_distinct.  Returns (id, fingerprints:
-    array<bigint> sorted).
+    ``hash_fn`` maps the gram Column to an int64 hash Column.  Default is
+    JVM-side ``xxhash64`` (production); the oracle-checked query surface
+    passes the engine-portable polynomial hash
+    (functions/portable_hash.py) so DuckDB can recompute the whole
+    winnowing pipeline bit-exactly.
     """
     from pyspark.sql import Window
 
+    hash_fn = hash_fn or F.xxhash64
     g = exploded_ngrams(docs, id_col, text_col, k).select(
-        F.col("id").alias(id_col), "pos", F.xxhash64("gram").alias("gh")
+        F.col("id").alias(id_col), "pos", hash_fn(F.col("gram")).alias("gh")
     )
     w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     w_cnt = Window.partitionBy(id_col)
@@ -132,6 +135,17 @@ def fingerprint(
         # only full windows (plus the single short window of a short doc)
         .where((F.col("pos") <= F.col("n") - window) | (F.col("pos") == 0))
     )
-    return mins.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("m")).alias("fingerprints")
+    return mins.select(id_col, F.col("m").alias("fingerprint")).distinct()
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, window: int = 4, hash_fn=None,
+) -> DataFrame:
+    """Winnowing fingerprint set per document (MOSS-style signature):
+    k-gram rolling hashes -> per-window minimum -> distinct sorted array.
+    Returns (id, fingerprints: array<bigint> sorted)."""
+    rows = fingerprint_rows(docs, id_col, text_col, k, window, hash_fn)
+    return rows.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("fingerprint")).alias("fingerprints")
     )

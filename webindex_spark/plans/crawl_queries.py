@@ -205,29 +205,36 @@ SQL_FRONTIER_UNSEEN = (
 
 
 def q_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 politeness scheduling as a ranking window: one fetch slot per
-    host per tick, priority-ordered, ties broken by uri — the deterministic
-    crawl ordering the north rule requires (order decided by data, never by
-    partition/task arrival)."""
+    """M3 politeness scheduling THROUGH the production operator
+    (operators/politeness.schedule — the salted two-phase path with
+    budget cut and crawl_delay ticks), so the oracle certifies the code
+    the crawl loop actually runs, not a simplified shadow.  The oracle is
+    the naive single ranking window: phase 1 of the salted path never
+    discards a row the exact ranking keeps, so the results are identical
+    (politeness.py docstring) — which is exactly the property worth
+    locking with a bit-exact gate."""
+    from webindex_spark.operators import politeness
+
     ev = _t(spark, sf_dir, "events")
     frontier = ev.select(
         F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
         F.col("value").alias("priority"),
+        (1.0 + (F.col("user_id") % 20) % 3).cast("double").alias("crawl_delay"),
     )
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("uri"))
-    return frontier.select(
-        "host",
-        "uri",
-        (F.row_number().over(w).cast("long") - 1).alias("tick"),
-    )
+    sched = politeness.schedule(frontier, budget=100, n_salts=8)
+    return sched.select("host", "uri", "slot", "tick")
 
 
 SQL_SCHEDULE = (
-    "SELECT host, uri, CAST(ROW_NUMBER() OVER (PARTITION BY host "
-    "ORDER BY priority DESC, uri ASC) AS BIGINT) - 1 AS tick FROM ("
+    "SELECT host, uri, CAST(rn - 1 AS BIGINT) AS slot, "
+    "CAST((rn - 1) * crawl_delay AS DOUBLE) AS tick FROM ("
+    "SELECT host, uri, crawl_delay, ROW_NUMBER() OVER (PARTITION BY host "
+    "ORDER BY priority DESC, uri ASC) AS rn FROM ("
     "SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host, "
-    "'e' || CAST(event_id AS VARCHAR) AS uri, value AS priority FROM events) f"
+    "'e' || CAST(event_id AS VARCHAR) AS uri, value AS priority, "
+    "CAST(1.0 + (user_id % 20) % 3 AS DOUBLE) AS crawl_delay FROM events) f) r "
+    "WHERE rn <= 100"
 )
 
 
@@ -706,40 +713,186 @@ SQL_SUPPLIER_DISTINCT = (
 )
 
 
-# ------------------------- engine ops without a SQL-expressible oracle
-# (the driver records a weaker rows-only check for these; their semantics
-# are locked instead by tests/ against python oracles)
+# --------------------- dedup/ANN pipelines under the engine-portable hash
+#
+# The production operators hash with xxhash64 (tests/ lock that path
+# against python oracles).  The gate queries run the SAME operator code
+# parametrized with the portable polynomial hash
+# (functions/portable_hash.py), which DuckDB can recompute bit-exactly —
+# so minhash banding + bucket guards, simhash lane-packed aggregation,
+# winnowing windows, and LSH re-ranking are all certified end-to-end by
+# the driver's value-hash compare instead of a weak rows-only check.
+
+from webindex_spark.functions import portable_hash as ph
+
+_SQL_DOC_GRAMS3 = (
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "gr AS (SELECT doc_id AS id, unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM t)"
+)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(docs, threshold=0.5)
+    return dedup.minhash_dedup(
+        docs, threshold=0.5, hash_fn=ph.phash31, bucket_fn=ph.fold31
+    )
+
+
+def _sql_minhash_pairs(k: int = 32, bands: int = 8, max_bucket: int = 50,
+                       threshold: float = 0.5) -> str:
+    from webindex_spark.operators.dedup import _P, _mix_consts
+
+    r = k // bands
+    mins = ", ".join(
+        f"MIN(({(a % ph.M31) | 1} * (h % {ph.M31}) + {b % _P}) % {_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_mix_consts(k))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"{ph.sql_fold31([f'mh_{b * r + j}' for j in range(r)])} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"{_SQL_DOC_GRAMS3}, "
+        f"sh AS (SELECT DISTINCT id, {ph.sql_phash31('gram')} AS h FROM gr WHERE length(gram) > 0), "
+        f"sig AS (SELECT id, {mins} FROM sh GROUP BY id), "
+        f"bands AS ({band_rows}), "
+        "bounded AS (SELECT id, band, bucket FROM (SELECT id, band, bucket, "
+        f"COUNT(*) OVER (PARTITION BY band, bucket) AS nb FROM bands) g WHERE nb <= {max_bucket}), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bounded a "
+        "JOIN bounded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id), "
+        "sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "
+        "inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ni FROM cand c "
+        "JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b AND y.h = x.h "
+        "GROUP BY c.id_a, c.id_b) "
+        "SELECT i.id_a, i.id_b, CAST(i.ni AS DOUBLE) / (sa.sz + sb.sz - i.ni) AS jaccard "
+        "FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b "
+        f"WHERE CAST(i.ni AS DOUBLE) / (sa.sz + sb.sz - i.ni) >= {threshold}"
+    )
+
+
+SQL_MINHASH_PAIRS = _sql_minhash_pairs()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import dedup
 
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    out = dedup.simhash(
+        _t(spark, sf_dir, "documents"), hash_fn=ph.phash62, nbits=62
+    )
+    return out.select(F.col("id").alias("doc_id"), "simhash")
+
+
+def _sql_simhash(nbits: int = 62) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(nbits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nbits)
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+        f"h AS (SELECT doc_id, {ph.sql_phash62('tok')} AS h FROM tk WHERE length(tok) > 0), "
+        f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM s"
+    )
+
+
+SQL_SIMHASH = _sql_simhash()
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints as exploded scalar (doc_id, fingerprint)
+    rows — the round-1 array<bigint> shape crashed the driver's
+    canonicalizer (pandas sort over list cells)."""
     from webindex_spark.operators import textstats
 
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+    return textstats.fingerprint_rows(
+        _t(spark, sf_dir, "documents"), hash_fn=ph.phash31
+    )
+
+
+def _sql_fingerprints(k: int = 5, window: int = 4) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-{k - 1}, 1)+1), "
+        f"i -> {{'pos': i-1, 'gram': array_to_string(toks[i:i+{k - 1}], ' ')}})) AS pg FROM t), "
+        "g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g), "
+        f"gh AS (SELECT doc_id, pos, {ph.sql_phash31('gram')} AS gh, "
+        "COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g2), "
+        "mins AS (SELECT doc_id, pos, n, MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m FROM gh) "
+        f"SELECT DISTINCT doc_id, m AS fingerprint FROM mins WHERE pos <= n - {window} OR pos = 0"
+    )
+
+
+SQL_FINGERPRINTS = _sql_fingerprints()
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import simsearch
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     queries = (
         emb.orderBy("vec_id").limit(4)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
-    return simsearch.lsh_topk(emb, queries, dim=dim, k=5)
+    # n_planes=8 (256 buckets/table) keeps buckets populated at sf0.01's
+    # 500 vectors so the gate exercises real candidate joins + re-ranking
+    out = simsearch.lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return out.select(
+        "q_id", "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_arr(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _sql_knn_lsh(dim: int = 64, n_planes: int = 8, tables: int = 3, k: int = 5) -> str:
+    """The hyperplanes are deterministic (seeded numpy) so they embed as
+    SQL literals: DuckDB recomputes each table's sign-bit signature with
+    list_dot_product, replays the bucket joins, and re-ranks by the exact
+    cosine — certifying the whole ANN path, not just the re-rank."""
+    from webindex_spark.operators.simsearch import _planes
+
+    sig_cols = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_arr(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(_planes(dim, n_planes, t))
+        )
+        sig_cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
+    cand_union = " UNION ALL ".join(
+        f"SELECT q.vec_id AS q_id, s.vec_id AS vec_id, s.v AS v, q.v AS qv "
+        f"FROM sig s JOIN q ON s.b{t} = q.b{t} AND s.vec_id <> q.vec_id"
+        for t in range(tables)
+    )
+    cos = (
+        "list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"sig AS (SELECT vec_id, v, {', '.join(sig_cols)} FROM e), "
+        "q AS (SELECT * FROM sig ORDER BY vec_id LIMIT 4), "
+        f"cand AS (SELECT DISTINCT q_id, vec_id, v, qv FROM ({cand_union}) u), "
+        f"scored AS (SELECT q_id, vec_id, {cos} AS c FROM cand), "
+        "ranked AS (SELECT q_id, vec_id, c, ROW_NUMBER() OVER (PARTITION BY q_id "
+        "ORDER BY c DESC, vec_id ASC) AS rank FROM scored) "
+        f"SELECT q_id, vec_id, ROUND(c, 6) AS cosine, CAST(rank AS BIGINT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+SQL_KNN_LSH = _sql_knn_lsh()
 
 
 # ---------------------------------------------------------------------------
@@ -767,9 +920,10 @@ QUERIES: dict = {
     "order_rollup": (q_order_rollup, SQL_ORDER_ROLLUP),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "supplier_distinct": (q_supplier_distinct, SQL_SUPPLIER_DISTINCT),
-    # rows-only checks (no SQL-expressible oracle; locked by pytest oracles)
-    "minhash_pairs": (q_minhash_pairs, None),
-    "simhash": (q_simhash, None),
-    "fingerprints": (q_fingerprints, None),
-    "knn_lsh": (q_knn_lsh, None),
+    # dedup/ANN pipelines under the engine-portable hash (full oracles;
+    # the xxhash64 production path is locked by tests/ python oracles)
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
 }
