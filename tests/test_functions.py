@@ -317,3 +317,21 @@ def test_enc_non_ascii():
     assert pagejson.enc_non_ascii(bytes([3, 0xE3])) == "\\x03\\xe3"
     line = pagejson.render_kv_line("d:com.a", "domain", "pagecount", "1")
     assert line == "d:com.a|domain|pagecount|1"
+
+
+def test_psl_full_list_loaded():
+    """The full public_suffix_list.dat (vendored from the host's
+    publicsuffix package, MPL-2.0) must be in effect — Guava's
+    InternetDomainName uses the complete list INCLUDING the private
+    section (blogspot et al.) and ccSLDs, so topPrivateDomain parity on
+    real Common Crawl hosts needs more than the built-in snapshot."""
+    from webindex_spark.functions import psl
+
+    # private-section suffix: blogspot.com is itself a (private) suffix
+    assert psl.top_private_domain("foo.blogspot.com") == "foo.blogspot.com"
+    # ccSLD beyond the snapshot
+    assert psl.top_private_domain("www.example.co.uk") == "example.co.uk"
+    assert psl.top_private_domain("shop.example.com.br") == "example.com.br"
+    # wildcard + exception rules still honored
+    assert psl.top_private_domain("a.b.ck") == "a.b.ck" and psl.is_under_public_suffix("x.a.b.ck")
+    assert psl.top_private_domain("www.ck") == "www.ck"

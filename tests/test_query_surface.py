@@ -61,3 +61,31 @@ def test_links(state):
     ]
     out = queries.links_of(pages, "com.a>>o>/1", "out", offset=1, page_size=1).collect()
     assert len(out) == 1 and out[0]["uri"] == "com.b>>o>/3"
+
+
+# --------------------------------------------------------------------------
+# DevServerIT parity: the reference's only end-to-end read-path assertion on
+# real crawl data (DevServerIT.java:46-57 over 5-pages.txt): getPages for
+# stackoverflow.com returns total=4, and the top-ranked page is
+# http://blog.stackoverflow.com/2009/06/attribution-required/ with score 4.
+
+
+def test_devserver_fixture_getpages(spark):
+    import os
+
+    from webindex_spark.functions.urlnorm import from_uri
+    from webindex_spark.sources.pages_json import read_pages_json
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "5-pages.txt")
+    pages = read_pages_json(spark, path)
+    assert pages.count() == 5
+    uri_counts, _dc, _rows = index_batch.build_index(pages, cache=False)
+
+    got = queries.pages_in_domain(uri_counts, "stackoverflow.com").collect()
+    assert len(got) == 4  # pages.getTotal()
+    top = got[0]
+    assert top["rank"] == 1
+    assert from_uri(top["uri"])["url"] == (
+        "http://blog.stackoverflow.com/2009/06/attribution-required/"
+    )
+    assert top["links_to"] == 4  # pageScore.getScore()

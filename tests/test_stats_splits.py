@@ -27,3 +27,16 @@ def test_calculate_splits(spark):
     assert all(len(s.encode()) <= 29 for s in splits)
     # deterministic (seeded sample)
     assert splits == index_batch.calculate_splits(index_rows, 10)
+
+
+def test_accumulo_default_splits_golden():
+    """IndexEnvTest.java:26-31: 76 split points, first d:com.blogg,
+    last t:fefeff:d; and they are usable range boundaries (sorted,
+    unique, <= 29 bytes like calculate_splits output)."""
+    from webindex_spark.operators.index_batch import accumulo_default_splits
+
+    splits = accumulo_default_splits()
+    assert len(splits) == 76
+    assert splits[0] == "d:com.blogg"
+    assert splits[-1] == "t:fefeff:d"
+    assert splits == sorted(set(splits))

@@ -64,3 +64,27 @@ def test_read_wat_dataframe(spark):
         df.select(*[f.name for f in index_batch.PAGE_SCHEMA.fields]), cache=False
     )
     assert ir.count() > 0
+
+
+def test_paths_range_select(tmp_path):
+    """S6 (IndexEnv.getPathsRange, IndexEnv.java:247-272): inclusive
+    0-based line range, fewer lines past EOF, errors on bad input."""
+    import pytest
+
+    from webindex_spark.sources.paths import get_paths_range
+
+    p = tmp_path / "wat.paths"
+    p.write_text("".join(f"seg/{i}.warc.wat.gz\n" for i in range(10)))
+    assert get_paths_range(str(p), "0-2") == [
+        "seg/0.warc.wat.gz", "seg/1.warc.wat.gz", "seg/2.warc.wat.gz"
+    ]
+    assert get_paths_range(str(p), "9-9") == ["seg/9.warc.wat.gz"]
+    assert get_paths_range(str(p), "8-15") == [
+        "seg/8.warc.wat.gz", "seg/9.warc.wat.gz"
+    ]  # skip/limit past EOF
+    with pytest.raises(ValueError):
+        get_paths_range(str(p), "5-2")
+    with pytest.raises(ValueError):
+        get_paths_range(str(p), "x-2")
+    with pytest.raises(FileNotFoundError):
+        get_paths_range(str(p) + ".nope", "0-1")

@@ -41,9 +41,22 @@ def phash31(col: Column | str, base: int = 31) -> Column:
 
 
 def phash62(col: Column | str) -> Column:
-    """62-bit portable hash: two independent-base 31-bit hashes packed."""
+    """62-bit portable hash: two independent-base 31-bit hashes packed.
+
+    Both recurrences fold in ONE pass over the characters (struct
+    accumulator) — half the HOF work of two separate phash31 calls."""
     c = F.col(col) if isinstance(col, str) else col
-    return phash31(c, 31) + phash31(c, 131) * F.lit(M31)
+    folded = F.aggregate(
+        F.split(c, ""),
+        F.struct(
+            F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+        ),
+        lambda acc, ch: F.struct(
+            F.pmod(acc["a"] * 31 + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(M31)).alias("a"),
+            F.pmod(acc["b"] * 131 + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(M31)).alias("b"),
+        ),
+    )
+    return folded["a"] + folded["b"] * F.lit(M31)
 
 
 def fold31(cols: list[Column], mult: int = 131) -> Column:

@@ -128,12 +128,22 @@ def parse_frame(raw: pd.Series) -> pd.DataFrame:
     path = ext[1].fillna("")
     path = path.mask(path == "", "/")
 
-    # port split (URL.java:120-131); Java Integer.parseInt accepts +/- signs
+    # port split (URL.java:120-131).  The accept/reject boundary is exactly
+    # Java Integer.parseInt: optional +/- sign, >=1 digits (any number of
+    # leading zeros), and the VALUE must fit an int32 — so the 10-digit
+    # http://h.com:2147483647/ is valid while :2147483648 and :99999999999
+    # are not, and negative ports parse to their (accepted) values.
     pext = hostport.str.extract(r"^([^:]*)(?::(.*))?$", expand=True)
     host = pext[0].fillna("")
     portstr = pext[1]
     has_port = portstr.notna().to_numpy(dtype=bool)
-    port_ok = portstr.fillna("0").str.match(r"^[+-]?\d{1,9}$").to_numpy(dtype=bool)
+    pm = portstr.fillna("")
+    form_ok = pm.str.match(r"^[+-]?\d+$")
+    sig = pm.str.replace(r"^[+-]", "", regex=True).str.lstrip("0")
+    small = sig.str.len() <= 10  # <=10 significant digits: safe to parse
+    pval = pd.to_numeric(pm.where(form_ok & small), errors="coerce")
+    in_range = (pval >= -2147483648) & (pval <= 2147483647)
+    port_ok = (form_ok & small & in_range.fillna(False)).to_numpy(dtype=bool)
     valid &= ~has_port | port_ok
     port = np.where(is_https & valid, 443, 80).astype(np.int64)
     parsed_port = (

@@ -199,30 +199,53 @@ def simhash(
     n_longs = (nbits + lanes - 1) // lanes
     aggs = [F.count(F.lit(1)).alias("n")]
     for j in range(n_longs):
-        contrib = F.lit(0).cast("long")
-        for lane in range(lanes):
-            i = j * lanes + lane
-            if i >= nbits:
-                break
-            bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
-            contrib = contrib + bit * F.lit(1 << (15 * lane)).cast("long")
+        n_live = min(lanes, nbits - j * lanes)
+        # nibble -> packed-lane contribution lookup: ONE shift+mask+
+        # element_at per token per agg column instead of 4 bit extractions
+        # (the per-bit expression tree was measured slower than the row
+        # width it saved at small scale; the LUT wins on both axes)
+        lut = [
+            sum(((n >> lane) & 1) << (15 * lane) for lane in range(n_live))
+            for n in range(16)
+        ]
+        nib = F.shiftright(F.col("h"), j * lanes).bitwiseAND(F.lit(15))
+        contrib = F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in lut]), nib.cast("int") + 1
+        )
         aggs.append(F.sum(contrib).alias(f"c_{j}"))
     sums = toks.groupBy("id").agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for i in range(nbits):
-        j, lane = divmod(i, lanes)
-        c_i = F.shiftrightunsigned(F.col(f"c_{j}"), 15 * lane).bitwiseAND(
-            F.lit(0x7FFF)
-        )
-        bit = (c_i * 2 > F.col("n")).cast("long")
-        if i == 63:
-            # bit 63 is the sign bit of the int64 representation
-            acc = acc + F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        else:
-            acc = acc + bit * F.lit(1 << i).cast("long")
-    return sums.select("id", acc.alias("simhash"))
+    # Unpack lanes -> sign bits -> packed signature with ONE small
+    # higher-order fold over bit positions.  An unrolled 62/64-term
+    # expression chain was measured ~1.5 s SLOWER per query at sf0.1 —
+    # all optimizer+codegen time on a ~1000-node tree — while this runs
+    # on already-grouped rows (one per doc), where interpreted HOF eval
+    # is microseconds.  2^i via pow() is exact (powers of two).
+    cs = F.array(*[F.col(f"c_{j}") for j in range(n_longs)])
+    top = min(nbits, 63)  # bit 63 (sign) handled outside the fold
+    def _lane_count(i):
+        # shift amount must be a literal: branch over the 4 lane shifts
+        c_j = F.element_at(cs, (i / lanes).cast("int") + 1)
+        lane = F.pmod(i, F.lit(lanes))
+        out = F.shiftrightunsigned(c_j, 0)
+        for ln in range(1, lanes):
+            out = F.when(lane == ln, F.shiftrightunsigned(c_j, 15 * ln)).otherwise(out)
+        return out.bitwiseAND(F.lit(0x7FFF))
+
+    body = F.aggregate(
+        F.sequence(F.lit(0), F.lit(top - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            _lane_count(i) * 2 > F.col("n"),
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    if nbits == 64:
+        c63 = F.shiftrightunsigned(F.col(f"c_{63 // lanes}"), 15 * (63 % lanes)).bitwiseAND(F.lit(0x7FFF))
+        body = body + F.when(
+            c63 * 2 > F.col("n"), F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", body.alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:

@@ -50,7 +50,15 @@ FRONTIER_SCHEMA = T.StructType(
     ]
 )
 
-SEEN_SCHEMA = T.StructType([T.StructField("uri", T.StringType(), False)])
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        # host rides along so the seen table can be laid out / bucketed by
+        # (host, salt) at rest — the co-partitioning the fused scheduling
+        # pipeline's anti-join reuses (operators/sched_pipeline.py)
+        T.StructField("host", T.StringType(), False),
+    ]
+)
 
 FETCH_LOG_SCHEMA = T.StructType(
     [
@@ -256,10 +264,15 @@ def run_epoch(
 
     # 5. seen-set insert: everything scheduled or robots-blocked this epoch
     newly_seen = (
-        scheduled.select("uri").unionByName(blocked.select("uri")).distinct().cache()
+        scheduled.select("uri", "host")
+        .unionByName(blocked.select("uri", "host"))
+        .distinct()
+        .cache()
     )
     seen_next = seen_tbl.unionByName(newly_seen)
-    bloom_next = seen_ops.bloom_insert(newly_seen, bloom_tbl, "uri", k, bits, n_parts)
+    bloom_next = seen_ops.bloom_insert(
+        newly_seen.select("uri"), bloom_tbl, "uri", k, bits, n_parts
+    )
 
     # 6. frontier update: remaining old rows + unseen new candidates,
     #    deduped by uri (max priority, min discovery epoch)
@@ -366,30 +379,39 @@ def run_epoch(
     # Commit order matters for crash-resume: run_crawl's done-check watches
     # the five core tables, and "frontier" commits LAST, so done ⇒ every
     # earlier commit (incl. pages_state/fetched_images) already published.
+    #
+    # Monotone tables (seen / fetch_log / pages_state / fetched_images)
+    # commit ONLY this epoch's delta in append mode — O(delta) write
+    # volume per epoch; the snapshot manifest stitches the cumulative view
+    # (Iceberg: fast-append).  Rewriting them in full each epoch would be
+    # O(total-state) — quadratic over a crawl, a 10^10-seen-set killer.
     outputs = {
-        "pages_state": fetched_pages.select(
-            "uri", "url", "host", "title", "out_urls",
-            F.lit(epoch).cast("long").alias("fetched_epoch"),
+        "pages_state": (
+            fetched_pages.select(
+                "uri", "url", "host", "title", "out_urls",
+                F.lit(epoch).cast("long").alias("fetched_epoch"),
+            ),
+            "append",
         ),
-        "fetched_images": fetched_images,
-        "fetch_log": _read_epoch(spark, cat, "fetch_log", prev).unionByName(fetch_log),
-        "seen": seen_next,
-        "bloom": bloom_next,
-        "index_pages": index_pages_next,
-        "index_rows": index_rows_next,
-        "domain_counts": domain_counts_next,
-        "uri_counts": uri_counts_next,
-        "frontier": frontier_next,
+        "fetched_images": (fetched_images, "append"),
+        "fetch_log": (fetch_log, "append"),
+        "seen": (newly_seen, "append"),
+        "bloom": (bloom_next, "full"),
+        "index_pages": (index_pages_next, "full"),
+        "index_rows": (index_rows_next, "full"),
+        "domain_counts": (domain_counts_next, "full"),
+        "uri_counts": (uri_counts_next, "full"),
+        "frontier": (frontier_next, "full"),
     }
-    for name, df in outputs.items():
+    for name, (df, mode) in outputs.items():
         t = cat.table(name)
         if t.epoch_of_head() is not None and t.epoch_of_head() >= epoch:
             continue  # already committed by a previous (killed) run
-        if name in ("pages_state", "fetched_images") and t.exists():
-            df = t.read(spark).unionByName(df)
+        if mode == "append" and not t.exists():
+            mode = "full"
         t.commit(
             df, epoch=epoch, lineage=lineage, metrics=metrics,
-            partition_metrics=part_metrics,
+            partition_metrics=part_metrics, mode=mode,
         )
 
     for c in (gated, scheduled, fetched_pages, newly_seen, changes):

@@ -235,6 +235,22 @@ def calculate_splits(index_rows: DataFrame, num_splits: int) -> list[str]:
     return sorted({r["row"].encode("utf-8")[:29].decode("utf-8", "ignore") for r in sample})
 
 
+def accumulo_default_splits() -> list[str]:
+    """S10: the reference's hand-computed default pre-split points
+    (IndexEnv.getAccumuloDefaultSplits, IndexEnv.java:
+    splits/accumulo-default.txt — vendored verbatim as package data,
+    Apache-2.0).  76 sorted points: first ``d:com.blogg``, last
+    ``t:fefeff:d`` (IndexEnvTest.java:26-31)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "accumulo_default_splits.dat",
+    )
+    with open(path, encoding="utf-8") as f:
+        return sorted(line.strip() for line in f if line.strip())
+
+
 def sorted_index_rows(index_rows: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Globally sorted (row, cf, cq) — the bulk-load order the reference's
     sink requires (IndexEnv.java:234-245).  ``orderBy`` range-partitions by

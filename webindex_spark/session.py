@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow joins to reuse a child partitioning that hashes a SUBSET of
+        # the join keys (host+salt are functions of uri in the frontier
+        # pipeline): this is what lets the seen anti-join and the politeness
+        # windows share ONE exchange (operators/sched_pipeline.py)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # local-mode default (64m) coalesces medium shuffles down to a
         # handful of tasks, capping parallelism; 8m keeps all cores busy at
         # bench scale while still coalescing away empty partitions.  On a

@@ -74,6 +74,9 @@ class SnapshotTable:
         sid = self.head() if snapshot is None else snapshot
         if sid is None:
             raise FileNotFoundError(f"table {self.name} has no committed snapshot")
+        segs = self.manifest(sid).get("segments")
+        if segs:
+            return spark.read.parquet(*[os.path.join(self.dir, s) for s in segs])
         return spark.read.parquet(self._snap_dir(sid))
 
     def manifest(self, snapshot: int | None = None) -> dict:
@@ -100,13 +103,26 @@ class SnapshotTable:
         lineage: dict | None = None,
         metrics: dict | None = None,
         partition_metrics: list | None = None,
+        mode: str = "full",
     ) -> int:
         """Write ``df`` as the next snapshot; returns its id.
 
-        The write happens into a scratch dir first, is renamed into its
-        immutable ``snap-NNNNN`` location, the manifest is written, and
-        only then does the atomic HEAD replace publish the snapshot.
+        ``mode="full"``: ``df`` is the complete table state (Iceberg
+        overwrite).  ``mode="append"``: ``df`` is only the NEW rows; the
+        snapshot's manifest references the parent's immutable segments
+        plus the freshly-written one, so the commit cost is O(delta)
+        rows, never O(table) — this is how the engine's monotone tables
+        (seen, fetch_log, pages_state, fetched_images) avoid the
+        quadratic write volume a full-state rewrite per epoch would cost
+        (Iceberg equivalent: ``df.writeTo(t).append()``, a fast-append
+        snapshot whose manifest list points at the prior manifests).
+
+        Either way the write lands in a scratch dir first, is renamed to
+        its immutable location, the manifest is written, and only then
+        does the atomic HEAD replace publish the snapshot.
         """
+        if mode not in ("full", "append"):
+            raise ValueError(f"unknown commit mode {mode!r}")
         parent = self.head()
         sid = (parent or 0) + 1
         tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
@@ -115,11 +131,21 @@ class SnapshotTable:
         if os.path.exists(target):  # orphan from a killed earlier attempt
             shutil.rmtree(target)
         os.replace(tmp, target)
+        own_seg = os.path.basename(target)
+        if mode == "append" and parent is not None:
+            parent_segs = self.manifest(parent).get(
+                "segments", [os.path.basename(self._snap_dir(parent))]
+            )
+            segments = parent_segs + [own_seg]
+        else:
+            segments = [own_seg]
         man = {
             "table": self.name,
             "snapshot": sid,
             "parent": parent,
             "epoch": epoch,
+            "mode": mode,
+            "segments": segments,
             "lineage": lineage or {},
             "metrics": metrics or {},
             "partition_metrics": partition_metrics or [],

@@ -80,10 +80,18 @@ class WatParseError(ValueError):
 
 
 def build_page(headers: dict, payload: bytes) -> dict | None:
-    """ArchiveUtil.buildPage semantics; None == Page.EMPTY."""
+    """ArchiveUtil.buildPage semantics; None == Page.EMPTY.
+
+    Gate parity (ArchiveUtil.java:36,68): the record-level gate is a FULL
+    mimetype equalsIgnoreCase — no ';parameter' splitting — while link
+    extraction additionally requires the EXACT case-sensitive string
+    "application/json" (the reference's inner check uses equals, so a
+    record typed "Application/JSON" yields title/server but no links).
+    """
     ctype = headers.get("content-type", "")
-    if ctype.split(";")[0].strip().lower() != "application/json":
+    if ctype.lower() != "application/json":
         return None
+    extract_links = ctype == "application/json"
     if not payload:
         return None
     try:
@@ -110,6 +118,8 @@ def build_page(headers: dict, payload: bytes) -> dict | None:
         html = meta.get("HTML-Metadata", {})
         links = html.get("Links") if isinstance(html, dict) else None
         seen = {}
+        if not extract_links:
+            links = None
         if isinstance(links, list):
             for link in links:
                 if not isinstance(link, dict):
