@@ -81,28 +81,38 @@ def normalize_links(links_col) -> F.Column:
     )
 
 
-def create_uri_map(pages: DataFrame) -> DataFrame:
-    """uri -> (links_to, docs); the UriInfo commutative monoid as a hash agg
-    (IndexUtil.java:74-91, UriInfo.java:69-74).  Rows summing to ZERO never
-    occur in batch (docs>=1 for own rows, links_to>=1 for link rows)."""
-    own = pages.where(F.col("uri").isNotNull()).select(
+def uri_map_from_edges(own_uris: DataFrame, link_targets: DataFrame) -> DataFrame:
+    """The UriInfo commutative monoid as a hash agg over its edge form:
+    ``own_uris(uri)`` are crawled pages (docs=1), ``link_targets(uri)`` are
+    inbound-link endpoints (links_to=1), summed per uri
+    (IndexUtil.java:74-91, UriInfo.java:69-74).  This is the single code
+    path behind both the page-table wrapper (create_uri_map) and the
+    derived-link-graph gate query (plans/crawl_queries.q_uri_counts)."""
+    own = own_uris.select(
         F.col("uri"),
         F.lit(0).cast("long").alias("links_to"),
         F.lit(1).cast("long").alias("docs"),
     )
-    lnk = (
-        pages.select(F.explode("outbound_links").alias("l"))
-        .select(
-            F.col("l.uri").alias("uri"),
-            F.lit(1).cast("long").alias("links_to"),
-            F.lit(0).cast("long").alias("docs"),
-        )
+    lnk = link_targets.select(
+        F.col("uri"),
+        F.lit(1).cast("long").alias("links_to"),
+        F.lit(0).cast("long").alias("docs"),
     )
     return (
         own.unionByName(lnk)
         .groupBy("uri")
         .agg(F.sum("links_to").alias("links_to"), F.sum("docs").alias("docs"))
     )
+
+
+def create_uri_map(pages: DataFrame) -> DataFrame:
+    """uri -> (links_to, docs) from a pages table.  Rows summing to ZERO
+    never occur in batch (docs>=1 for own rows, links_to>=1 for links)."""
+    own = pages.where(F.col("uri").isNotNull()).select("uri")
+    lnk = pages.select(F.explode("outbound_links").alias("l")).select(
+        F.col("l.uri").alias("uri")
+    )
+    return uri_map_from_edges(own, lnk)
 
 
 def create_domain_map(uri_counts: DataFrame) -> DataFrame:

@@ -101,21 +101,12 @@ _SQL_URI_COUNTS = (
 
 
 def uri_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: the UriInfo monoid over the derived link graph, via the same
-    engine code path the golden test locks (index_batch.create_uri_map
-    semantics, edge-table form)."""
-    own = page_uris(spark, sf_dir).select(
-        "uri", F.lit(0).cast("long").alias("links_to"), F.lit(1).cast("long").alias("docs")
-    )
-    lnk = link_edges(spark, sf_dir).select(
-        F.col("dst_uri").alias("uri"),
-        F.lit(1).cast("long").alias("links_to"),
-        F.lit(0).cast("long").alias("docs"),
-    )
-    return (
-        own.unionByName(lnk)
-        .groupBy("uri")
-        .agg(F.sum("links_to").alias("links_to"), F.sum("docs").alias("docs"))
+    """A1: the UriInfo monoid over the derived link graph, THROUGH the
+    production aggregation (index_batch.uri_map_from_edges — the same code
+    path create_uri_map wraps and the set1 golden locks)."""
+    return index_batch.uri_map_from_edges(
+        page_uris(spark, sf_dir),
+        link_edges(spark, sf_dir).select(F.col("dst_uri").alias("uri")),
     )
 
 
