@@ -1,0 +1,273 @@
+"""Partitioned cuckoo-filter URL-seen tier (north rule: "partitioned
+Bloom/cuckoo filters ... in vectorized pandas/Arrow UDFs").
+
+The Bloom tier (operators/seen.py) is the default; this is the cuckoo
+alternative with the property Bloom lacks — **deletion** — which a crawl
+uses to un-mark URLs scheduled for re-fetch (content expiry) without
+rebuilding the filter.
+
+Layout mirrors the Bloom table: ``(pid:int, buckets:array<long>)`` — one
+row per partition, each long packing ``SLOTS=4`` 16-bit fingerprints
+(slot 0 in bits 0-15, ...).  Standard partial-key cuckoo hashing
+(Fan et al., "Cuckoo Filter: Practically Better Than Bloom", CoNEXT'14):
+
+  fp(x)  = 16-bit nonzero fingerprint
+  i1(x)  = H(x) mod m
+  i2(x)  = i1 XOR (g(fp) AND (m-1))        # m is a power of two, so the
+                                           # XOR alternation is an
+                                           # involution: alt(alt(i)) = i
+  member = fp present in bucket i1 or i2
+
+All hashing is ANSI-overflow-safe 31-bit arithmetic on ``xxhash64``
+values, identical in the numpy kernels and the Catalyst probe (the same
+discipline as seen.py).  Inserts/deletes run as cogrouped Arrow batches
+(one numpy kernel per filter partition, rows sorted by uri so the table
+bytes are deterministic regardless of shuffle arrival order); membership
+probes run either as a pure-Catalyst broadcast join (filter <= the
+broadcast cap: element_at + shifts in whole-stage codegen, zero Python,
+zero shuffle) or as the cogroup kernel at the 10^10 sizing.
+
+False-positive rate ~= 2 * SLOTS / 2^16 (~1.2e-4 at 16-bit fingerprints);
+like the Bloom tier, the EXACT anti-join downstream makes false positives
+a cost, never a correctness issue — and deletions here can produce false
+negatives ONLY for items never inserted (deleting an item that was
+inserted is exact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from webindex_spark.operators.seen import BROADCAST_BLOOM_MAX_BYTES
+
+CUCKOO_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), False),
+        T.StructField("buckets", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+SLOTS = 4
+_FP_MASK = 0xFFFF
+_G_MULT = 0x5BD1E995
+_H31 = 1 << 31
+MAX_KICKS = 500
+
+
+def cuckoo_params(expected_n: int, n_partitions: int = 64) -> tuple[int, int]:
+    """(n_partitions, m buckets/partition). Sized for <= ~84% load (the
+    practical cuckoo ceiling is ~95% at 4 slots); m is a power of two
+    (the XOR alternation requires it)."""
+    per_part = max(1, expected_n // n_partitions)
+    m = 1
+    while m * SLOTS * 0.84 < per_part:
+        m *= 2
+    return n_partitions, max(m, 8)
+
+
+def empty_cuckoo(spark: SparkSession, n_partitions: int, m: int) -> DataFrame:
+    zero = [0] * m
+    return spark.createDataFrame(
+        [(p, zero) for p in range(n_partitions)], schema=CUCKOO_SCHEMA
+    )
+
+
+def _with_hashes(df: DataFrame, uri_col: str, m: int, n_partitions: int) -> DataFrame:
+    c = F.col(uri_col)
+    fp = F.pmod(F.xxhash64(F.lit("cfp"), c), F.lit(_FP_MASK)) + 1  # 1..65535
+    g = F.pmod(fp * F.lit(_G_MULT), F.lit(_H31)).bitwiseAND(F.lit(m - 1))
+    i1 = F.pmod(F.xxhash64(F.lit("ci"), c), F.lit(m))
+    return (
+        df.withColumn(
+            "pid", F.pmod(F.xxhash64(F.lit("cpid"), c), F.lit(n_partitions)).cast("int")
+        )
+        .withColumn("fp", fp)
+        .withColumn("i1", i1)
+        .withColumn("i2", i1.bitwiseXOR(g))
+    )
+
+
+def _np_hashes(fp: np.ndarray, i1: np.ndarray, m: int):
+    g = ((fp.astype(np.int64) * _G_MULT) % _H31) & (m - 1)
+    return i1, i1 ^ g
+
+
+def _lanes(word: np.ndarray):
+    return [(word >> np.uint64(16 * s)) & np.uint64(_FP_MASK) for s in range(SLOTS)]
+
+
+def _kernel_upsert(buckets: np.ndarray, fps: np.ndarray, i1s: np.ndarray,
+                   i2s: np.ndarray, m: int, delete: bool) -> np.ndarray:
+    """Sequential per-partition insert/delete (the kicking loop is
+    inherently order-dependent; rows arrive pre-sorted for determinism)."""
+    b = buckets.view(np.uint64).copy()
+
+    def slot_fps(i):
+        w = b[i]
+        return [(int(w) >> (16 * s)) & _FP_MASK for s in range(SLOTS)]
+
+    def put(i, s, fp):
+        w = int(b[i]) & ~(_FP_MASK << (16 * s))
+        b[i] = np.uint64(w | (int(fp) << (16 * s)))
+
+    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+        if delete:
+            done = False
+            for i in (i1, i2):
+                for s, have in enumerate(slot_fps(i)):
+                    if have == fp:
+                        put(i, s, 0)
+                        done = True
+                        break
+                if done:
+                    break
+            continue
+        if fp in slot_fps(i1) or fp in slot_fps(i2):
+            continue  # idempotent insert
+        placed = False
+        for i in (i1, i2):
+            for s, have in enumerate(slot_fps(i)):
+                if have == 0:
+                    put(i, s, fp)
+                    placed = True
+                    break
+            if placed:
+                break
+        if placed:
+            continue
+        # kick: deterministic victim slot per attempt
+        i, cur = i2, fp
+        for attempt in range(MAX_KICKS):
+            s = (cur + attempt) % SLOTS
+            victim = slot_fps(i)[s]
+            put(i, s, cur)
+            cur = victim
+            g = ((cur * _G_MULT) % _H31) & (m - 1)
+            i = i ^ g
+            for s2, have in enumerate(slot_fps(i)):
+                if have == 0:
+                    put(i, s2, cur)
+                    cur = 0
+                    break
+            if cur == 0:
+                break
+        if cur != 0:
+            raise RuntimeError(
+                "cuckoo filter over capacity — resize expected_n upward"
+            )
+    return b.view(np.int64)
+
+
+def _cogroup_apply(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
+                   n_partitions: int, delete: bool) -> DataFrame:
+    cand = _with_hashes(uris.select(uri_col), uri_col, m, n_partitions)
+
+    def upsert(key, cdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        if len(tdf):
+            buckets = np.asarray(tdf["buckets"].iloc[0], dtype=np.int64)
+        else:
+            buckets = np.zeros(m, dtype=np.int64)
+        if len(cdf):
+            cdf = cdf.sort_values(uri_col)  # deterministic table bytes
+            buckets = _kernel_upsert(
+                buckets, cdf["fp"].to_numpy(), cdf["i1"].to_numpy(),
+                cdf["i2"].to_numpy(), m, delete,
+            )
+        return pd.DataFrame({"pid": [pid], "buckets": [buckets.tolist()]})
+
+    return (
+        cand.groupBy("pid")
+        .cogroup(table.groupBy("pid"))
+        .applyInPandas(upsert, schema=CUCKOO_SCHEMA)
+    )
+
+
+def cuckoo_insert(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
+                  n_partitions: int) -> DataFrame:
+    """Updated filter table (all n_partitions rows present)."""
+    return _cogroup_apply(uris, table, uri_col, m, n_partitions, delete=False)
+
+
+def cuckoo_delete(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
+                  n_partitions: int) -> DataFrame:
+    """Remove the uris' fingerprints (exact for previously-inserted items
+    — the capability the Bloom tier cannot offer)."""
+    return _cogroup_apply(uris, table, uri_col, m, n_partitions, delete=True)
+
+
+def cuckoo_probe(candidates: DataFrame, table: DataFrame, uri_col: str,
+                 m: int, n_partitions: int) -> DataFrame:
+    """candidates + boolean ``maybe_seen``; physical mode by filter size
+    (broadcast/Catalyst vs cogroup/numpy), like seen.bloom_probe."""
+    if n_partitions * m * 8 <= BROADCAST_BLOOM_MAX_BYTES:
+        return _probe_jvm(candidates, table, uri_col, m, n_partitions)
+    return _probe_cogroup(candidates, table, uri_col, m, n_partitions)
+
+
+def _probe_jvm(candidates: DataFrame, table: DataFrame, uri_col: str,
+               m: int, n_partitions: int) -> DataFrame:
+    cand = _with_hashes(candidates, uri_col, m, n_partitions)
+    j = cand.join(F.broadcast(table), "pid", "left")
+    hit = F.lit(False)
+    for idx in ("i1", "i2"):
+        word = F.element_at(F.col("buckets"), F.col(idx).cast("int") + 1)
+        for s in range(SLOTS):
+            lane = F.shiftrightunsigned(word, 16 * s).bitwiseAND(F.lit(_FP_MASK))
+            hit = hit | (lane == F.col("fp"))
+    maybe = F.when(F.col("buckets").isNull(), F.lit(False)).otherwise(hit)
+    return j.withColumn("maybe_seen", maybe).drop("pid", "fp", "i1", "i2", "buckets")
+
+
+def _probe_cogroup(candidates: DataFrame, table: DataFrame, uri_col: str,
+                   m: int, n_partitions: int) -> DataFrame:
+    cand = _with_hashes(candidates, uri_col, m, n_partitions)
+    out_schema = T.StructType(
+        [f for f in cand.schema.fields if f.name not in ("fp", "i1", "i2")]
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    cols = [f.name for f in cand.schema.fields if f.name not in ("fp", "i1", "i2")]
+
+    def probe(key, cdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        if len(tdf) == 0:
+            res = np.zeros(len(cdf), dtype=bool)
+        else:
+            b = np.asarray(tdf["buckets"].iloc[0], dtype=np.int64).view(np.uint64)
+            fp = cdf["fp"].to_numpy().astype(np.uint64)
+            hit = np.zeros(len(cdf), dtype=bool)
+            for idx in ("i1", "i2"):
+                w = b[cdf[idx].to_numpy()]
+                for lane in _lanes(w):
+                    hit |= lane == fp
+            res = hit
+        out = cdf[cols].copy()
+        out["maybe_seen"] = res
+        return out
+
+    return (
+        cand.groupBy("pid")
+        .cogroup(table.groupBy("pid"))
+        .applyInPandas(probe, schema=out_schema)
+        .drop("pid")
+    )
+
+
+def filter_unseen(candidates: DataFrame, seen: DataFrame, table: DataFrame | None,
+                  uri_col: str = "uri", *, m: int, n_partitions: int) -> DataFrame:
+    """Two-tier unseen filter with the cuckoo tier as the cheap negative —
+    identical contract to seen.filter_unseen."""
+    if table is None:
+        return candidates.join(seen.select(uri_col), uri_col, "left_anti")
+    probed = cuckoo_probe(candidates, table, uri_col, m, n_partitions)
+    if n_partitions * m * 8 > BROADCAST_BLOOM_MAX_BYTES:
+        probed = probed.localCheckpoint(eager=False)
+    fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(seen.select(uri_col), uri_col, "left_anti")
+    return fresh.unionByName(confirmed_new)

@@ -113,6 +113,7 @@ class CrawlConfig:
     budget: int = 5                # fetches per host per epoch
     priority_decay: float = 0.5    # child priority = parent * decay (max over parents)
     n_salts: int = 8               # politeness skew salting
+    filter_kind: str = "bloom"     # cheap-negative seen tier: bloom | cuckoo
     bloom_expected_n: int = 100_000
     bloom_fpp: float = 0.01
     bloom_partitions: int = 16
@@ -120,8 +121,47 @@ class CrawlConfig:
     bloom: tuple = field(init=False)
 
     def __post_init__(self):
-        self.bloom = seen_ops.bloom_params(
-            self.bloom_expected_n, self.bloom_fpp, self.bloom_partitions
+        if self.filter_kind == "cuckoo":
+            from webindex_spark.operators import cuckoo as cuckoo_ops
+
+            n_parts, m = cuckoo_ops.cuckoo_params(
+                self.bloom_expected_n, self.bloom_partitions
+            )
+            # (n_partitions, m buckets, slots) — same tuple arity as bloom
+            self.bloom = (n_parts, m, cuckoo_ops.SLOTS)
+        else:
+            self.bloom = seen_ops.bloom_params(
+                self.bloom_expected_n, self.bloom_fpp, self.bloom_partitions
+            )
+
+    # --- the cheap-negative filter tier, behind one interface -----------
+
+    def empty_filter(self, spark):
+        n_parts, size, _ = self.bloom
+        if self.filter_kind == "cuckoo":
+            from webindex_spark.operators import cuckoo as cuckoo_ops
+
+            return cuckoo_ops.empty_cuckoo(spark, n_parts, size)
+        return seen_ops.empty_bloom(spark, n_parts, size)
+
+    def filter_insert(self, uris, table, uri_col="uri"):
+        n_parts, size, k = self.bloom
+        if self.filter_kind == "cuckoo":
+            from webindex_spark.operators import cuckoo as cuckoo_ops
+
+            return cuckoo_ops.cuckoo_insert(uris, table, uri_col, size, n_parts)
+        return seen_ops.bloom_insert(uris, table, uri_col, k, size, n_parts)
+
+    def filter_unseen(self, candidates, seen, table, uri_col="uri"):
+        n_parts, size, k = self.bloom
+        if self.filter_kind == "cuckoo":
+            from webindex_spark.operators import cuckoo as cuckoo_ops
+
+            return cuckoo_ops.filter_unseen(
+                candidates, seen, table, uri_col, m=size, n_partitions=n_parts
+            )
+        return seen_ops.filter_unseen(
+            candidates, seen, table, uri_col, k=k, bits=size, n_partitions=n_parts
         )
 
 
@@ -193,7 +233,7 @@ def init_crawl(spark: SparkSession, cat: Catalog, seeds: DataFrame, cfg: CrawlCo
     lineage = {"seeds": "input"}
     cat.table("frontier").commit(frontier, epoch=0, lineage=lineage)
     cat.table("seen").commit(empty(SEEN_SCHEMA), epoch=0)
-    cat.table("bloom").commit(seen_ops.empty_bloom(spark, n_parts, bits), epoch=0)
+    cat.table("bloom").commit(cfg.empty_filter(spark), epoch=0)
     cat.table("fetch_log").commit(empty(FETCH_LOG_SCHEMA), epoch=0)
     cat.table("uri_counts").commit(empty(URI_COUNTS_SCHEMA), epoch=0)
     cat.table("domain_counts").commit(
@@ -270,16 +310,12 @@ def run_epoch(
         .cache()
     )
     seen_next = seen_tbl.unionByName(newly_seen)
-    bloom_next = seen_ops.bloom_insert(
-        newly_seen.select("uri"), bloom_tbl, "uri", k, bits, n_parts
-    )
+    bloom_next = cfg.filter_insert(newly_seen.select("uri"), bloom_tbl)
 
     # 6. frontier update: remaining old rows + unseen new candidates,
     #    deduped by uri (max priority, min discovery epoch)
     remaining = frontier.join(newly_seen, "uri", "left_anti")
-    fresh = seen_ops.filter_unseen(
-        children, seen_next, bloom_next, "uri", k=k, bits=bits, n_partitions=n_parts
-    ).select(
+    fresh = cfg.filter_unseen(children, seen_next, bloom_next).select(
         "uri", "url", "host", "path",
         F.col("priority"),
         F.lit(epoch + 1).cast("long").alias("discovered_epoch"),
