@@ -47,7 +47,12 @@ GSON_PAGE_SCHEMA = T.StructType(
 
 
 def read_pages_json(spark: SparkSession, path: str) -> DataFrame:
-    raw = spark.read.schema(GSON_PAGE_SCHEMA).json(path)
+    return gson_pages_transform(spark.read.schema(GSON_PAGE_SCHEMA).json(path))
+
+
+def gson_pages_transform(raw: DataFrame) -> DataFrame:
+    """Gson-named raw rows -> PAGE_SCHEMA (shared by the batch reader and
+    the Structured Streaming source, streaming/page_stream.py)."""
     links = F.transform(
         F.coalesce("outboundLinks", F.array()),
         lambda l: F.struct(
