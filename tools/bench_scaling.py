@@ -43,11 +43,11 @@ from webindex_spark.plans import bench_jobs
 
 spark = get_spark(
     "bench-scaling",
-    master=f"local-cluster[{n_exec},2,5120]",
+    master=f"local-cluster[{n_exec},2,7168]",
     shuffle_partitions=48,
     extra_conf={
         "spark.local.dir": "/dev/shm/spark-bench",
-        "spark.executor.memory": "4g",
+        "spark.executor.memory": "6g",
         "spark.driver.memory": "8g",
     },
 )
@@ -95,10 +95,10 @@ def run_level(n_exec: int, n_urls: int, n_images: int, passes: int) -> dict:
 
 def main():
     quick = "--quick" in sys.argv
-    n_urls = 2_000_000 if quick else 20_000_000
+    n_urls = 2_000_000 if quick else 40_000_000
     n_images = 10_000 if quick else 150_000
-    passes = 1 if quick else 3
-    lo, hi = 1, 4  # executors (x4 cores each) => N vs 4N
+    passes = 1 if quick else 4
+    lo, hi = 1, 4  # executors (x2 cores each) => N vs 4N
 
     a = run_level(lo, n_urls, n_images, passes)
     b = run_level(hi, n_urls, n_images, passes)

@@ -23,7 +23,7 @@ spam-cluster guard.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 # deterministic Carter-Wegman-ish mixers for the k minhash functions
 _P = (1 << 61) - 1
@@ -102,11 +102,18 @@ def lsh_candidates(
     exploded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # spam-cluster guard: drop oversized buckets (boilerplate shingles)
-    w = Window.partitionBy("band", "bucket")
-    bounded = exploded.withColumn("__n", F.count(F.lit(1)).over(w)).where(
-        F.col("__n") <= max_bucket
-    ).drop("__n")
+    # spam-cluster guard: drop oversized buckets (boilerplate shingles).
+    # Oversized buckets are by definition FEW (count > max_bucket), so the
+    # guard is a broadcast anti-join against their key list — a hash agg
+    # plus a broadcast, instead of the count-over-window form whose sort
+    # re-shuffles every (band, bucket) row.
+    hot = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .drop("__n")
+    )
+    bounded = exploded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = bounded.alias("a")
     b = bounded.alias("b")
     return (

@@ -110,10 +110,18 @@ def frontier_throughput_job(
 
 
 def unpersist_all(spark: SparkSession) -> None:
-    """Drop every persisted/localCheckpointed RDD block in the session."""
+    """Drop every persisted/localCheckpointed RDD block in the session,
+    then force a driver GC so the ContextCleaner releases broadcast and
+    shuffle state promptly — without it, repeated large passes accumulate
+    executor-heap garbage (broadcasts are only cleaned when the driver
+    GCs their refs) and later passes degrade measurably."""
+    import gc
+
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        rdd.unpersist(True)
     spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 def _gen_images_batchwise(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
