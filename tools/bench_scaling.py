@@ -38,6 +38,8 @@ RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, ".")
 n_exec, n_urls, n_images, passes = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+import os
+cogroup = os.environ.get("BENCH_COGROUP") == "1"
 from webindex_spark.session import get_spark
 from webindex_spark.plans import bench_jobs
 
@@ -53,17 +55,19 @@ spark = get_spark(
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-bench_jobs.frontier_throughput_job(spark, n_urls // 20, 5000)   # warmup
+bench_jobs.frontier_throughput_job(spark, n_urls // 20, 5000, force_cogroup=cogroup)   # warmup
 res_f = []
 for _ in range(passes):
-    n, dt = bench_jobs.frontier_throughput_job(spark, n_urls, 50_000)
+    n, dt = bench_jobs.frontier_throughput_job(spark, n_urls, 50_000, force_cogroup=cogroup)
     res_f.append((n, dt))
 
-bench_jobs.image_verify_throughput_job(spark, 2000)             # warmup
-res_i = []
-for _ in range(passes):
-    n, dt = bench_jobs.image_verify_throughput_job(spark, n_images)
-    res_i.append((n, dt))
+res_i = [(1, 1.0)]
+if n_images:
+    bench_jobs.image_verify_throughput_job(spark, 2000)             # warmup
+    res_i = []
+    for _ in range(passes):
+        n, dt = bench_jobs.image_verify_throughput_job(spark, n_images)
+        res_i.append((n, dt))
 
 # throughput = input URLs pushed through the full pipeline per second
 best_f = max(n_urls / dt for _, dt in res_f)
@@ -80,10 +84,12 @@ spark.stop()
 """
 
 
-def run_level(n_exec: int, n_urls: int, n_images: int, passes: int) -> dict:
+def run_level(n_exec: int, n_urls: int, n_images: int, passes: int,
+              cogroup: bool = False) -> dict:
+    env = dict(os.environ, BENCH_COGROUP="1" if cogroup else "0")
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(n_exec), str(n_urls), str(n_images), str(passes)],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     if out.returncode != 0:
@@ -95,18 +101,21 @@ def run_level(n_exec: int, n_urls: int, n_images: int, passes: int) -> dict:
 
 def main():
     quick = "--quick" in sys.argv
-    n_urls = 2_000_000 if quick else 40_000_000
-    n_images = 10_000 if quick else 150_000
-    passes = 1 if quick else 4
+    cogroup = "--cogroup" in sys.argv   # the 10^10-filter regime:
+    # forces the cogroup bloom-probe branch (filter > broadcast cap) and
+    # skips the image job; run as a supplementary row at 20M/3 passes
+    n_urls = 2_000_000 if quick else (20_000_000 if cogroup else 40_000_000)
+    n_images = 0 if cogroup else (10_000 if quick else 150_000)
+    passes = 1 if quick else (3 if cogroup else 4)
     lo, hi = 1, 4  # executors (x2 cores each) => N vs 4N
 
-    a = run_level(lo, n_urls, n_images, passes)
-    b = run_level(hi, n_urls, n_images, passes)
+    a = run_level(lo, n_urls, n_images, passes, cogroup)
+    b = run_level(hi, n_urls, n_images, passes, cogroup)
 
     eff_f = (b["frontier"]["urls_per_sec"] / a["frontier"]["urls_per_sec"]) / (hi / lo)
     eff_i = (b["images"]["rows_per_sec"] / a["images"]["rows_per_sec"]) / (hi / lo)
     summary = {
-        "metric": "scaling_efficiency",
+        "metric": "scaling_efficiency_cogroup" if cogroup else "scaling_efficiency",
         "levels_executors_x_cores": [f"{lo}x2", f"{hi}x2"],
         "frontier_urls_per_sec": {str(lo): a["frontier"]["urls_per_sec"],
                                    str(hi): b["frontier"]["urls_per_sec"]},

@@ -59,7 +59,7 @@ def synth_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
 
 def frontier_throughput_job(
     spark: SparkSession, n_urls: int = 2_000_000, n_hosts: int = 50_000,
-    budget: int = 20, seen_frac: int = 4,
+    budget: int = 20, seen_frac: int = 4, force_cogroup: bool = False,
 ) -> tuple[int, float]:
     """Returns (urls_scheduled, wall_seconds) for the FUSED scheduling
     pipeline (operators/sched_pipeline.schedule_frontier): ONE candidate
@@ -93,14 +93,24 @@ def frontier_throughput_job(
         pre_seen, n_salts=n_salts, num_partitions=shuffle_n
     ).localCheckpoint(eager=True)                     # at-rest bucketed layout
 
-    t0 = time.time()
-    sched = sched_pipeline.schedule_frontier(
-        frontier, seen_at_rest, bloom, robots, budget, n_salts=n_salts,
-        k=k, bits=bits, n_partitions=n_parts,
-        num_partitions=shuffle_n, seen_prepartitioned=True, keep_cols=[],
-    )
-    n_scheduled = sched.count()
-    dt = time.time() - t0
+    # force_cogroup models the 10^10 regime (a ~14 GiB filter exceeds the
+    # broadcast cap): the pipeline takes the cogroup bloom-probe branch —
+    # candidates shuffle by filter pid, Arrow/numpy bit tests, and only
+    # the maybe-seen slice pays the exact anti-join
+    old_cap = seen_ops.BROADCAST_BLOOM_MAX_BYTES
+    if force_cogroup:
+        seen_ops.BROADCAST_BLOOM_MAX_BYTES = 0
+    try:
+        t0 = time.time()
+        sched = sched_pipeline.schedule_frontier(
+            frontier, seen_at_rest, bloom, robots, budget, n_salts=n_salts,
+            k=k, bits=bits, n_partitions=n_parts,
+            num_partitions=shuffle_n, seen_prepartitioned=True, keep_cols=[],
+        )
+        n_scheduled = sched.count()
+        dt = time.time() - t0
+    finally:
+        seen_ops.BROADCAST_BLOOM_MAX_BYTES = old_cap
     # free this pass's checkpointed state (~0.5 GB of executor storage per
     # pass at 20M URLs) so repeated passes / the image job that follows
     # don't degrade under accumulated storage-memory pressure (measured:
