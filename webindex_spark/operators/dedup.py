@@ -102,6 +102,9 @@ def lsh_candidates(
     exploded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # two consumers below (hot-bucket census + the guard join): materialize
+    # once instead of re-running the k-min signature aggregation
+    exploded = exploded.localCheckpoint(eager=False)
     # spam-cluster guard: drop oversized buckets (boilerplate shingles).
     # Oversized buckets are by definition FEW (count > max_bucket), so the
     # guard is a broadcast anti-join against their key list — a hash agg

@@ -71,13 +71,21 @@ def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages' outbound_links arrays.  The orders⋈lineitem join is a plain
     shuffle join on the fact keys; at scale both sides are co-partitioned
     by orderkey (bucketed layout), so this is the cheap path compared to
-    materializing pages arrays first."""
+    materializing pages arrays first.
+
+    The DISTINCT runs on the integer key pair (orderkey determines the
+    src uri, partkey the dst) BEFORE the uri strings are built: deduping
+    two longs shuffles ~4× fewer bytes than deduping two ~30-char strings,
+    and the string concat then runs once per surviving edge."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    return (
+    keys = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(_src_uri_col().alias("src_uri"), _dst_uri_col().alias("dst_uri"))
-        .distinct()
+        .select("o_custkey", "o_orderkey", "l_partkey")
+        .dropDuplicates(["o_orderkey", "l_partkey"])
+    )
+    return keys.select(
+        _src_uri_col().alias("src_uri"), _dst_uri_col().alias("dst_uri")
     )
 
 
