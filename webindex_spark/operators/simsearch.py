@@ -112,6 +112,48 @@ def add_signatures(
     return df.withColumn(out_col, sig(F.col(vec_col)))
 
 
+def near_dup_pairs(
+    corpus: DataFrame, dim: int, threshold: float = 0.9,
+    n_planes: int = 6, tables: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (id_a < id_b,
+    cosine >= threshold) — the dedup-stack entry for embedding columns.
+
+    Same scale posture as lsh_topk: signatures for all hash tables in one
+    corpus pass, a SELF-join per (table, bucket) generates candidates
+    (never a global all-pairs stage), distinct-ed pairs pay one exact
+    cosine.  Recall tunes with n_planes (bucket granularity) and tables;
+    candidates outside every shared bucket are never compared — exactly
+    the trade a 100 TB near-dup sweep makes.
+    """
+    sigs = add_signatures(corpus, dim, n_planes, tuple(range(tables)),
+                          vec_col, "__sigs").select(
+        id_col, vec_col, F.posexplode("__sigs").alias("tbl", "bucket")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = cosine_col(F.col("__va"), F.col("__vb"))
+    return (
+        cands.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     n_planes: int = 12, tables: int = 3,

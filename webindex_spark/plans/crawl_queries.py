@@ -894,6 +894,55 @@ def _sql_knn_lsh(dim: int = 64, n_planes: int = 8, tables: int = 3, k: int = 5) 
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (the dedup-stack
+    entry the training brief names).  threshold=0.4 is where this
+    synthetic corpus has real neighbor structure (max pairwise cosine is
+    ~0.51); the operator is threshold-parametric."""
+    from webindex_spark.operators import simsearch
+
+    out = simsearch.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4,
+        n_planes=6, tables=3,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_emb_near_dup(dim: int = 64, n_planes: int = 6, tables: int = 3,
+                      threshold: float = 0.4) -> str:
+    """DuckDB replays the SAME hyperplane buckets (seeded plane literals),
+    self-joins per table, and re-verifies the exact cosine — certifying
+    bucket generation + candidate join + verification end to end."""
+    from webindex_spark.operators.simsearch import _planes
+
+    sig_cols = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_arr(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(_planes(dim, n_planes, t))
+        )
+        sig_cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
+    cand_union = " UNION ALL ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb "
+        f"FROM sig a JOIN sig b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(tables)
+    )
+    cos = (
+        "list_dot_product(va, vb) / "
+        "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"sig AS (SELECT vec_id, v, {', '.join(sig_cols)} FROM e), "
+        f"cand AS (SELECT DISTINCT id_a, id_b, va, vb FROM ({cand_union}) u), "
+        f"scored AS (SELECT id_a, id_b, {cos} AS c FROM cand) "
+        f"SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM scored WHERE c >= {threshold}"
+    )
+
+
+SQL_EMB_NEAR_DUP = _sql_emb_near_dup()
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict = {
@@ -925,4 +974,5 @@ QUERIES: dict = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
 }
