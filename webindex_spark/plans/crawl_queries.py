@@ -44,6 +44,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the full shuffle parallelism: the parquet
+    is 1-2 row groups, so the scan alone yields 1-2 partitions and any
+    per-row kernel (the portable char-hash folds especially) would run on
+    2 of N cores.  The round-robin repartition of a few-MB table is noise
+    next to the 10-30x parallelism it unlocks; at real scale the input
+    has thousands of splits and this becomes a no-op choice."""
+    return _t(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+
 def _src_uri_col() -> F.Column:
     return F.concat(
         F.lit("com.h"),
@@ -572,7 +584,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined relationally (doc_id, doc_id+1) instead of via LSH buckets."""
     from webindex_spark.operators.textstats import exploded_ngrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # |A∩B| via an exploded distinct-gram join rather than array_intersect
     # on joined gram arrays: array expressions re-evaluate per use (no CSE
     # across higher-order lambdas), and the exploded form is one hash join
@@ -734,7 +746,7 @@ _SQL_DOC_GRAMS3 = (
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_dedup(
         docs, threshold=0.5, hash_fn=ph.phash31, bucket_fn=ph.fold31
     )
@@ -780,7 +792,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import dedup
 
     out = dedup.simhash(
-        _t(spark, sf_dir, "documents"), hash_fn=ph.phash62, nbits=62
+        _docs(spark, sf_dir), hash_fn=ph.phash62, nbits=62
     )
     return out.select(F.col("id").alias("doc_id"), "simhash")
 
@@ -812,7 +824,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import textstats
 
     return textstats.fingerprint_rows(
-        _t(spark, sf_dir, "documents"), hash_fn=ph.phash31
+        _docs(spark, sf_dir), hash_fn=ph.phash31
     )
 
 
