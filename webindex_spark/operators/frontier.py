@@ -20,6 +20,14 @@ epoch (same inputs => same outputs, commits of already-done tables are
 skipped) and never refetches completed epochs.  That is the Iceberg-
 snapshot checkpoint contract of BASELINE.json, on the snapshots seam.
 
+Physical note: this loop schedules the ALREADY-deduped frontier (robots +
+politeness only — no seen join needed there) and unseen-filters the newly
+extracted children separately; the streaming-topology composition of the
+same operators (candidates arriving and being unseen-filtered + scheduled
+in ONE job) is `operators/sched_pipeline.schedule_frontier`, the fused
+single-exchange plan the scaling benchmark measures — its equivalence to
+the chain used here is locked by tests/test_sched_pipeline.py.
+
 Metric names follow the reference's ten Grafana meters
 (PageObserver.java:66-68, UriCombineQ.java:54-55, DomainCombineQ.java:42-43,
 IndexUpdateTranslator.java:41-43), recorded per data-partition (pid =
