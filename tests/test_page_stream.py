@@ -47,6 +47,58 @@ def test_stream_matches_batch_recompute(spark, tmp_path):
     assert _snap(cat.table("index_rows").read(spark)) == want_rows5
 
 
+def test_partial_crash_replay_recovers_all_tables(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN the four per-table commits of a micro-batch: the
+    replay must re-derive the same deltas (inputs pinned below batch_id,
+    not read at HEAD) and publish the tables the crash skipped — the
+    streamed state still equals a from-scratch batch recompute."""
+    import pytest
+
+    from webindex_spark.sources.snapshots import SnapshotTable
+
+    fixture = os.path.join(os.path.dirname(__file__), "golden", "5-pages.txt")
+    lines = [l for l in open(fixture, encoding="utf-8").read().splitlines() if l]
+    f_a, f_b = tmp_path / "a.json", tmp_path / "b.json"
+    f_a.write_text("\n".join(lines[:2]) + "\n")
+    f_b.write_text("\n".join(lines[2:]) + "\n")
+
+    cat = Catalog(str(tmp_path / "cat"))
+    page_stream._empty_state(spark, cat)
+    page_stream.apply_page_batch(
+        spark, cat, read_pages_json(spark, str(f_a)), batch_id=0
+    )
+
+    # batch 1 dies right after the FIRST table (index_pages) publishes
+    real_commit = SnapshotTable.commit
+
+    def crashing(self, df, **kw):
+        sid = real_commit(self, df, **kw)
+        if self.name == "index_pages":
+            raise RuntimeError("simulated crash between table commits")
+        return sid
+
+    monkeypatch.setattr(SnapshotTable, "commit", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        page_stream.apply_page_batch(
+            spark, cat, read_pages_json(spark, str(f_b)), batch_id=1
+        )
+    monkeypatch.setattr(SnapshotTable, "commit", real_commit)
+    assert cat.table("index_pages").epoch_of_head() == 1  # crash landed mid-way
+    assert cat.table("uri_counts").epoch_of_head() == 0
+
+    # replay of batch 1 (what the streaming checkpoint does on restart)
+    page_stream.apply_page_batch(
+        spark, cat, read_pages_json(spark, str(f_b)), batch_id=1
+    )
+    all_pages = read_pages_json(spark, str(tmp_path / "*.json"))
+    want_uc, want_dc, want_rows = (
+        _snap(d) for d in index_batch.build_index(all_pages, cache=False)
+    )
+    assert _snap(cat.table("uri_counts").read(spark)) == want_uc
+    assert _snap(cat.table("domain_counts").read(spark)) == want_dc
+    assert _snap(cat.table("index_rows").read(spark)) == want_rows
+
+
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     fixture = os.path.join(os.path.dirname(__file__), "golden", "5-pages.txt")
     cat = Catalog(str(tmp_path / "cat"))

@@ -171,6 +171,25 @@ class SnapshotTable:
         sid = self.head()
         return None if sid is None else self.manifest(sid).get("epoch")
 
+    def snapshot_before_epoch(self, epoch: int) -> int | None:
+        """Latest snapshot committed for an epoch strictly below ``epoch``
+        (walking parents from HEAD); snapshots without an epoch tag count
+        as older than any tagged one.
+
+        This is the read-pinning a multi-table transaction needs for
+        idempotent replay: a re-run of epoch/batch E must read every input
+        table AS OF the pre-E state, even when a previous crashed attempt
+        already pushed some table's HEAD to E (Iceberg equivalent:
+        ``VERSION AS OF`` the snapshot preceding E's commit)."""
+        sid = self.head()
+        while sid is not None:
+            m = self.manifest(sid)
+            e = m.get("epoch")
+            if e is None or e < epoch:
+                return sid
+            sid = m.get("parent")
+        return None
+
 
 class Catalog:
     """A directory of SnapshotTables — the engine's 'warehouse'."""

@@ -62,11 +62,28 @@ def apply_page_batch(spark: SparkSession, cat: Catalog, pages: DataFrame,
     if all(_epoch(t) >= batch_id for t in STREAM_TABLES):
         return  # crashed-after-commit replay: nothing to do
 
+    # Read every input pinned at the last snapshot BELOW batch_id, never
+    # HEAD: if a crash landed between the four per-table commits, some
+    # HEADs are already at batch_id (e.g. index_pages committed, then
+    # death before uri_counts).  Reading that HEAD would diff the replayed
+    # batch against already-updated state, yield empty deltas, and commit
+    # stale tables as batch_id — silently losing the batch.  Pinning makes
+    # the replay recompute the SAME outputs the crashed attempt did, and
+    # the per-table epoch check turns its re-commit into skip-or-publish.
+    def _read_before(t: str) -> DataFrame:
+        tbl = cat.table(t)
+        sid = tbl.snapshot_before_epoch(batch_id)
+        if sid is None:
+            raise RuntimeError(
+                f"table {t} has no snapshot below batch {batch_id}"
+            )
+        return tbl.read(spark, sid)
+
     deltas = pages.withColumn("op", F.lit("put"))
-    index_pages_prev = cat.table("index_pages").read(spark)
-    uri_counts_prev = cat.table("uri_counts").read(spark)
-    domain_counts_prev = cat.table("domain_counts").read(spark)
-    index_rows_prev = cat.table("index_rows").read(spark)
+    index_pages_prev = _read_before("index_pages")
+    uri_counts_prev = _read_before("uri_counts")
+    domain_counts_prev = _read_before("domain_counts")
+    index_rows_prev = _read_before("index_rows")
 
     index_pages_next, uri_deltas, mutations = delta_ops.diff_pages(
         index_pages_prev, deltas
