@@ -61,6 +61,38 @@ def test_delete_is_exact(spark, built):
     assert deleted_hits / 2_000 < 0.01, deleted_hits
 
 
+def test_delete_safe_under_fingerprint_collision(spark):
+    """Two DIFFERENT uris colliding on (pid, fp, bucket) both store a
+    fingerprint copy (Fan et al. duplicates), so deleting one never
+    un-marks the other — no false negative for an inserted item."""
+    n_parts, m = 2, 8
+    hashed = cuckoo._with_hashes(
+        _uris(spark, 0, 6_000, tag="c"), "uri", m, n_parts
+    ).collect()
+    by_key, pair = {}, None
+    for r in hashed:
+        k = (r["pid"], r["fp"], r["i1"])
+        if k in by_key and by_key[k] != r["uri"]:
+            pair = (by_key[k], r["uri"])
+            break
+        by_key[k] = r["uri"]
+    assert pair is not None, "no (pid, fp, bucket) collision in 6k uris"
+    a, b = pair
+
+    def df_of(*uris):
+        return spark.createDataFrame([(u,) for u in uris], "uri string")
+
+    table = cuckoo.cuckoo_insert(
+        df_of(a, b), cuckoo.empty_cuckoo(spark, n_parts, m), "uri", m, n_parts
+    )
+    after_del = cuckoo.cuckoo_delete(df_of(a), table, "uri", m, n_parts)
+    probed = {
+        r["uri"]: r["maybe_seen"]
+        for r in cuckoo.cuckoo_probe(df_of(a, b), after_del, "uri", m, n_parts).collect()
+    }
+    assert probed[b] is True  # the surviving item is still a member
+
+
 def test_filter_unseen_two_tier_exactness(spark, built):
     table, m, n_parts = built
     seen = _uris(spark, 0, 10_000)

@@ -29,9 +29,12 @@ zero shuffle) or as the cogroup kernel at the 10^10 sizing.
 
 False-positive rate ~= 2 * SLOTS / 2^16 (~1.2e-4 at 16-bit fingerprints);
 like the Bloom tier, the EXACT anti-join downstream makes false positives
-a cost, never a correctness issue — and deletions here can produce false
-negatives ONLY for items never inserted (deleting an item that was
-inserted is exact).
+a cost, never a correctness issue.  Deletion follows Fan et al. §3.3:
+duplicate fingerprints are STORED (one copy per inserted item, up to the
+2*SLOTS bucket-pair capacity), so deleting an inserted item removes
+exactly one copy and never un-marks a different item that collided on the
+same (fingerprint, bucket pair) — no false negatives for any item whose
+inserts outnumber its deletes.
 """
 
 from __future__ import annotations
@@ -128,8 +131,15 @@ def _kernel_upsert(buckets: np.ndarray, fps: np.ndarray, i1s: np.ndarray,
                 if done:
                     break
             continue
-        if fp in slot_fps(i1) or fp in slot_fps(i2):
-            continue  # idempotent insert
+        # NB: no presence check — duplicate fingerprints are stored, one
+        # copy per inserted item (Fan et al. §3.2).  With a presence-skip,
+        # two DIFFERENT items colliding on (fp, bucket pair) would share
+        # one stored copy and deleting either would un-mark both — a false
+        # negative for a still-inserted item.  Duplicates keep deletion
+        # safe: delete removes exactly one copy, so the other item's copy
+        # survives.  Capacity bound: ≤ 2*SLOTS copies of one (fp, pair)
+        # fit; beyond that insert raises over-capacity (probability
+        # ~(n/2^16/m)^8 — negligible at any sane load factor).
         placed = False
         for i in (i1, i2):
             for s, have in enumerate(slot_fps(i)):
@@ -175,7 +185,11 @@ def _cogroup_apply(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
         else:
             buckets = np.zeros(m, dtype=np.int64)
         if len(cdf):
-            cdf = cdf.sort_values(uri_col)  # deterministic table bytes
+            # one copy per distinct uri per batch: duplicates WITHIN a
+            # batch collapse (idempotent batch), duplicates ACROSS batches
+            # are the caller's insert/delete-balance contract (multiset
+            # semantics — the crawl inserts each uri exactly once)
+            cdf = cdf.drop_duplicates(subset=[uri_col]).sort_values(uri_col)
             buckets = _kernel_upsert(
                 buckets, cdf["fp"].to_numpy(), cdf["i1"].to_numpy(),
                 cdf["i2"].to_numpy(), m, delete,
