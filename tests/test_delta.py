@@ -168,3 +168,32 @@ def test_reload_same_page_is_noop(spark):
     after = {tuple(r) for r in state[3].collect()}
     assert before == after
     assert_equals_batch(spark, state)
+
+
+def test_domain_changes_feed_is_o_delta_and_exact(spark):
+    """merge_domain_counts(with_changes=True) returns the touched-domain
+    (old, new) rows the epoch metrics consume; domains_new derived from it
+    equals the brute-force old-vs-new domain-set difference."""
+    dc = spark.createDataFrame(
+        [("com.a", 2), ("com.b", 1)], "rev_domain string, pagecount long"
+    )
+    # com.b's only uri dies; com.c appears; com.a gains one more uri
+    changes = spark.createDataFrame(
+        [
+            ("com.b>>o>/x", 1, 0, 0, 0, True),
+            ("com.c>>o>/y", 0, 0, 3, 1, True),
+            ("com.a>>o>/z", 0, 0, 1, 0, True),
+        ],
+        "uri string, old_links long, old_docs long, new_links long, "
+        "new_docs long, touched boolean",
+    )
+    nxt, dchg = delta_ops.merge_domain_counts(dc, changes, with_changes=True)
+    got_next = {(r["rev_domain"], r["pagecount"]) for r in nxt.collect()}
+    assert got_next == {("com.a", 3), ("com.c", 1)}
+    rows = {r["rev_domain"]: (r["old_pagecount"], r["new_pagecount"])
+            for r in dchg.collect()}
+    assert rows == {"com.a": (2, 3), "com.b": (1, 0), "com.c": (0, 1)}
+    domains_new = sum(1 for o, n in rows.values() if o == 0 and n != 0)
+    old_set = {r["rev_domain"] for r in dc.collect()}
+    new_set = {d for d, _ in got_next}
+    assert domains_new == len(new_set - old_set) == 1

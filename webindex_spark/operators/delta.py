@@ -141,9 +141,19 @@ def merge_uri_counts(uri_counts: DataFrame, uri_deltas: DataFrame):
     return uri_counts_next, changes.where("touched")
 
 
-def merge_domain_counts(domain_counts: DataFrame, changes: DataFrame):
+def merge_domain_counts(
+    domain_counts: DataFrame, changes: DataFrame, with_changes: bool = False
+):
     """T4: ±1 per 0<->nonzero URI transition (UriCombineQ.java:72-77);
-    rows reaching 0 dropped (genDomainData emits nothing for 0)."""
+    rows reaching 0 dropped (genDomainData emits nothing for 0).
+
+    With ``with_changes=True`` returns ``(next, domain_changes)`` where
+    domain_changes carries (rev_domain, old_pagecount, new_pagecount) for
+    every TOUCHED domain — O(delta) rows from the same full-outer join
+    that produces the merged table, so per-epoch telemetry like
+    "domains_new" (old 0 -> new nonzero) costs no extra full-table scan
+    (the round-2 metric recomputed a DISTINCT over all of uri_counts per
+    tick just to count these)."""
     was_zero = (F.col("old_links") == 0) & (F.col("old_docs") == 0)
     is_zero = (F.col("new_links") == 0) & (F.col("new_docs") == 0)
     d = (
@@ -158,14 +168,20 @@ def merge_domain_counts(domain_counts: DataFrame, changes: DataFrame):
         .groupBy("rev_domain")
         .agg(F.sum("d_count").alias("d_count"))
     )
-    return (
-        domain_counts.join(d, "rev_domain", "full_outer")
-        .select(
-            "rev_domain",
-            (F.coalesce("pagecount", F.lit(0)) + F.coalesce("d_count", F.lit(0)))
-            .cast("long").alias("pagecount"),
-        )
-        .where(F.col("pagecount") != 0)
+    merged = domain_counts.join(d, "rev_domain", "full_outer").select(
+        "rev_domain",
+        F.coalesce("pagecount", F.lit(0)).cast("long").alias("old_pagecount"),
+        (F.coalesce("pagecount", F.lit(0)) + F.coalesce("d_count", F.lit(0)))
+        .cast("long").alias("new_pagecount"),
+        F.col("d_count").isNotNull().alias("touched"),
+    )
+    nxt = merged.where(F.col("new_pagecount") != 0).select(
+        "rev_domain", F.col("new_pagecount").alias("pagecount")
+    )
+    if not with_changes:
+        return nxt
+    return nxt, merged.where("touched").select(
+        "rev_domain", "old_pagecount", "new_pagecount"
     )
 
 

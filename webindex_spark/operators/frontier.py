@@ -203,6 +203,55 @@ def _read_epoch(spark, cat: Catalog, name: str, epoch: int) -> DataFrame:
     return t.read(spark, _epoch_snapshot(t, epoch))
 
 
+def _epoch_metrics(
+    deltas: DataFrame, changes: DataFrame, domain_changes: DataFrame
+) -> tuple[int, int, int, int]:
+    """(n_pages, n_links, uris_changed, domains_new) in ONE Spark job:
+    three one-row aggregates unioned and collected together.  Every input
+    is delta-sized (deltas = this epoch's fetched pages; changes = touched
+    uris; domain_changes = touched domains) — the full uri_counts state is
+    never scanned for telemetry."""
+    zero = F.lit(0).cast("long")
+    stats = (
+        deltas.agg(
+            F.lit("pages").alias("k"),
+            F.count("*").cast("long").alias("a"),
+            F.coalesce(F.sum(F.size("outbound_links")), F.lit(0))
+            .cast("long").alias("b"),
+        )
+        .unionByName(
+            changes.agg(
+                F.lit("changes").alias("k"),
+                F.count("*").cast("long").alias("a"),
+                zero.alias("b"),
+            )
+        )
+        .unionByName(
+            domain_changes.agg(
+                F.lit("domains").alias("k"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("old_pagecount") == 0)
+                            & (F.col("new_pagecount") != 0),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("a"),
+                zero.alias("b"),
+            )
+        )
+    )
+    rows = {r["k"]: (r["a"], r["b"]) for r in stats.collect()}
+    return (
+        int(rows["pages"][0]),
+        int(rows["pages"][1]),
+        int(rows["changes"][0]),
+        int(rows["domains"][0]),
+    )
+
+
 def _partition_metrics(df: DataFrame, n_parts: int, uri_col: str = "uri") -> list:
     """(pid, count) pairs under the layout-independent partition id."""
     rows = (
@@ -388,20 +437,20 @@ def run_epoch(
     )
     uri_counts_next, changes = delta_ops.merge_uri_counts(uri_counts, uri_deltas)
     changes = changes.cache()
-    domain_counts_next = delta_ops.merge_domain_counts(domain_counts_prev, changes)
+    domain_counts_next, domain_changes = delta_ops.merge_domain_counts(
+        domain_counts_prev, changes, with_changes=True
+    )
     index_rows_next = delta_ops.update_index_rows(
         index_rows_prev, changes, domain_counts_prev, domain_counts_next, page_mutations
     )
 
-    # ------------------------------------------------------------- metrics
-    n_pages = fetched_pages.count()
-    n_links = deltas.agg(F.sum(F.size("outbound_links"))).collect()[0][0] or 0
-    changed = changes.count()
-    old_domains = uri_counts.select(
-        F.split_part("uri", F.lit(">"), F.lit(1)).alias("d")
-    ).distinct()
-    new_domains = domain_counts_next.select(F.col("rev_domain").alias("d")).distinct()
-    domains_new = new_domains.join(old_domains, "d", "left_anti").count()
+    # metrics: ONE job over delta-sized inputs.  domains_new comes from
+    # merge_domain_counts' own touched-domain rows (old 0 -> new nonzero),
+    # O(delta) — never a distinct/anti-join over the full uri_counts table
+    # (the round-2 version scanned all 10^10 uris per tick for telemetry).
+    n_pages, n_links, changed, domains_new = _epoch_metrics(
+        deltas, changes, domain_changes
+    )
     metrics = {
         "webindex_pages_ingested": n_pages,
         "webindex_links_ingested": int(n_links),
