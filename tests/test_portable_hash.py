@@ -77,3 +77,85 @@ def test_schedule_query_runs_production_operator(spark):
     plan = q_schedule(spark, "/root/testdata/sf0.001")._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window") >= 2, plan
     assert "__salt" in plan or "_salt" in plan, plan
+
+
+def test_phash_parity_non_ascii_and_astral(spark):
+    """Spark split('')+ascii() must equal DuckDB's per-codepoint unicode()
+    beyond ASCII: accented Latin, CJK, and astral-plane (surrogate-pair)
+    characters — the divergence surface the dedup/fingerprint oracles
+    stand on."""
+    strings = [
+        "héllo", "日本語テキスト", "naïve café résumé", "Ω≈ç√∫",
+        "\U0001d11e clef", "emoji \U0001f600\U0001f680 mid", "mixéd 漢字 \U0001f9ea end",
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: (r["h31"], r["h62"])
+        for r in df.select(
+            "s",
+            ph.phash31(F.col("s")).alias("h31"),
+            ph.phash62(F.col("s")).alias("h62"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        w31, w62 = con.execute(
+            f"SELECT {ph.sql_phash31('s')}, {ph.sql_phash62('s')} FROM (SELECT ? AS s)",
+            [s],
+        ).fetchone()
+        assert got[s] == (w31, w62), s
+
+
+def test_compose62_parity_with_sql_slice(spark):
+    """compose62 over null-tailed lead columns == sql_compose62_slice over
+    a clamped list slice (the short-document gram equivalence)."""
+    from webindex_spark.operators.textstats import exploded_ngram_hashes
+
+    texts = [
+        (1, "the quick brown fox jumps"), (2, "ab"), (3, "one two"),
+        (4, "   "), (5, "a b c d"), (6, "doublé  spacé  tökens"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["id"], r["pos"], r["gh"])
+        for r in exploded_ngram_hashes(
+            docs, "doc_id", "text", 3, ph.phash62, ph.compose62
+        ).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {t!r})" for i, t in texts)
+    con.execute(f"CREATE TABLE documents AS SELECT * FROM (VALUES {vals}) v(doc_id, text)")
+    from webindex_spark.plans.crawl_queries import _sql_gram_hashes
+
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"{_sql_gram_hashes(3, with_pos=True)} SELECT id, pos, gh FROM gr"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_simhash_token_cap_matches_sql_twin(spark):
+    """A document past the 32767-token cap hashes the same token multiset
+    in Spark and the DuckDB twin (cap counts NON-EMPTY tokens, applied as
+    a clamped slice on both sides)."""
+    import duckdb as _dd
+
+    from webindex_spark.operators import dedup
+    from webindex_spark.plans.crawl_queries import _sql_simhash
+
+    long_text = " ".join(f"w{i % 97}" for i in range(33_000))
+    texts = [(0, long_text), (1, "short doc here")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash(docs, hash_fn=ph.phash62, nbits=62).collect()
+    }
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES (0, ?), (1, 'short doc here')) v(doc_id, text)",
+        [long_text],
+    )
+    want = dict(con.execute(_sql_simhash()).fetchall())
+    assert got == want

@@ -59,6 +59,45 @@ def phash62(col: Column | str) -> Column:
     return folded["a"] + folded["b"] * F.lit(M31)
 
 
+def compose62(token_hashes: list[Column]) -> Column:
+    """Order-sensitive 62-bit gram hash composed from per-token
+    :func:`phash62` values — the token is hashed ONCE and each gram costs
+    n integer ops, vs the O(chars × n) of re-folding every character of
+    every gram (the round-2 hot spot of ngram/minhash/fingerprints).
+
+    Null entries are SKIPPED (a null ``lead`` marks the clamped
+    short-document gram), matching a DuckDB slice ``ths[i:i+n-1]`` that
+    simply clamps at the list end.  Lanes: two independent 31-bit
+    polynomial folds over the low/high halves of the 62-bit token hash
+    (all arithmetic < 2^39, ANSI/overflow-safe in both engines).
+
+    Shape matters: a per-step ``when(isNull, acc)`` chain embeds the
+    accumulator twice per step — a 2^n expression tree that measured
+    ~0.9 s/query slower at sf0.1.  Nulls can only be a TAIL (leads past
+    the document end), so this builds the strict n-token chain (linear)
+    plus one prefix chain per possible short length, selected by the
+    non-null count — O(n²) total nodes, evaluated once per gram row."""
+
+    def _prefix(js: int) -> Column:
+        sa: Column = F.lit(0).cast("long")
+        sb: Column = F.lit(0).cast("long")
+        for c in token_hashes[:js]:
+            sa = F.pmod(sa * F.lit(131) + c.bitwiseAND(F.lit(M31 - 1)), F.lit(M31))
+            sb = F.pmod(sb * F.lit(137) + F.shiftright(c, 31), F.lit(M31))
+        return sa + sb * F.lit(M31)
+
+    strict = _prefix(len(token_hashes))
+    if len(token_hashes) == 1:
+        return strict
+    n_nonnull = sum(
+        [F.when(c.isNull(), 0).otherwise(1) for c in token_hashes[1:]], F.lit(1)
+    )
+    expr = strict
+    for j in range(1, len(token_hashes)):
+        expr = F.when(n_nonnull == j, _prefix(j)).otherwise(expr)
+    return expr
+
+
 def fold31(cols: list[Column], mult: int = 131) -> Column:
     """Order-sensitive fold of several int64 columns into one 31-bit value
     (the portable replacement for ``xxhash64(*cols)`` band buckets)."""
@@ -83,6 +122,22 @@ def sql_phash31(expr: str, base: int = 31) -> str:
 
 def sql_phash62(expr: str) -> str:
     return f"({sql_phash31(expr, 31)} + {sql_phash31(expr, 131)} * {M31})"
+
+
+def sql_compose62_slice(list_expr: str) -> str:
+    """DuckDB twin of :func:`compose62` over a (clamped) slice of a
+    per-token phash62 list, e.g. ``sql_compose62_slice('ths[i:i+2]')``."""
+    fa = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({list_expr}, t -> t & {M31 - 1})), "
+        f"(acc, c) -> (acc * 131 + c) % {M31})"
+    )
+    fb = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({list_expr}, t -> t >> 31)), "
+        f"(acc, c) -> (acc * 137 + c) % {M31})"
+    )
+    return f"({fa} + {fb} * {M31})"
 
 
 def sql_fold31(exprs: list[str], mult: int = 131) -> str:

@@ -46,22 +46,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             n: int = 3, hash_fn=None) -> DataFrame:
+             n: int = 3, token_hash_fn=None, compose_fn=None) -> DataFrame:
     """(id, shingle_hash) distinct word n-gram shingles, hashed JVM-side.
 
-    Built on the explode+lead n-gram stream (see
-    textstats.exploded_ngrams for why the transform/slice form is avoided).
-    ``hash_fn`` defaults to ``xxhash64`` (production); the oracle-checked
-    query surface passes the engine-portable polynomial hash so DuckDB can
+    Built on the explode+lead per-token-hash stream
+    (textstats.exploded_ngram_hashes): each token is hashed once and the
+    gram hash is composed from the n token hashes — O(chars) total char
+    work instead of the O(chars × n) a per-gram string hash costs.
+    Defaults are xxhash64 token hashes composed with xxhash64
+    (production); the oracle-checked query surface passes the
+    engine-portable ``phash62``/``compose62`` pair so DuckDB can
     recompute the pipeline (functions/portable_hash.py).
     """
-    from webindex_spark.operators.textstats import exploded_ngrams
+    from webindex_spark.operators.textstats import exploded_ngram_hashes
 
-    hash_fn = hash_fn or F.xxhash64
     return (
-        exploded_ngrams(docs, id_col, text_col, n)
-        .where(F.length("gram") > 0)
-        .select("id", hash_fn(F.col("gram")).alias("shingle_hash"))
+        exploded_ngram_hashes(docs, id_col, text_col, n, token_hash_fn, compose_fn)
+        .select("id", F.col("gh").alias("shingle_hash"))
         .distinct()
     )
 
@@ -162,10 +163,10 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.7) -> D
 def minhash_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.7,
-    hash_fn=None, bucket_fn=None,
+    token_hash_fn=None, compose_fn=None, bucket_fn=None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
-    sh = shingles(docs, id_col, text_col, n, hash_fn).cache()
+    sh = shingles(docs, id_col, text_col, n, token_hash_fn, compose_fn).cache()
     sig = minhash_signatures(sh, k)
     cand = lsh_candidates(sig, k, bands, bucket_fn=bucket_fn)
     return jaccard_verify(cand, sh, threshold)
@@ -185,9 +186,11 @@ def simhash(
     (512 B at nbits=64 — the dominant cost of this operator at scale).
     Here each aggregate long packs FOUR per-bit set-counts in 15-bit lanes
     (shifts 0/15/30/45), cutting the shuffle row width 4×.  Lane safety:
-    counts are bounded by ``max_tokens`` (docs are truncated to their first
-    32767 tokens — the standard long-document cap), so a lane never carries
-    (c_i ≤ 0x7FFF) and the running sum stays < 2^61 (ANSI-safe).
+    counts are bounded by ``max_tokens`` (docs are truncated to their
+    first 32767 NON-EMPTY tokens — the standard long-document cap), so a
+    lane never carries (c_i ≤ 0x7FFF) and the running sum stays < 2^61
+    (ANSI-safe).  ``max_tokens=None`` disables the cap (then the caller
+    owns lane-overflow safety for >32767-token documents).
 
     ``hash_fn``/``nbits`` default to xxhash64/64 (production).  The
     oracle-checked query passes the portable 62-bit polynomial hash
@@ -195,16 +198,18 @@ def simhash(
     the identical fingerprints.
     """
     hash_fn = hash_fn or F.xxhash64
-    toks = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("pos", "tok"),
-        )
-        .where((F.length("tok") > 0) & (F.col("pos") < max_tokens))
-        .select("id", hash_fn(F.col("tok")).alias("h"))
+    # empty tokens are dropped BEFORE the cap counts positions, and the
+    # cap is a slice on the filtered array (pre-explode — fewer rows out
+    # of the generator), so the SQL oracle twin can mirror it exactly as
+    # list_filter(...)[1:max_tokens] (crawl_queries._sql_simhash)
+    toks_ne = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
     )
+    capped = F.slice(toks_ne, 1, max_tokens) if max_tokens else toks_ne
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(capped).alias("tok")
+    ).select("id", hash_fn(F.col("tok")).alias("h"))
     lanes = 4
     n_longs = (nbits + lanes - 1) // lanes
     aggs = [F.count(F.lit(1)).alias("n")]

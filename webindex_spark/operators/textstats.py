@@ -48,6 +48,54 @@ def exploded_ngrams(
     ).drop("__cnt")
 
 
+def exploded_ngram_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    token_hash_fn=None, compose_fn=None,
+) -> DataFrame:
+    """(id, pos, gh): word n-gram HASHES with each token hashed once.
+
+    Hashing the gram *string* (phash/xxhash over the concatenated chars)
+    costs O(chars × n) per document — every character is re-folded by
+    each of the n grams containing its token, and that char fold was the
+    measured dominant cost of the round-2 dedup/fingerprint queries.
+    Here each token is hashed ONCE (O(chars) total) and the gram hash is
+    composed from the n token hashes via ``compose_fn`` — n integer ops
+    on already-computed longs per gram.  Same stream shape as
+    :func:`exploded_ngrams` (posexplode + lead windows, one shuffle).
+
+    Empty tokens are dropped BEFORE position numbering, so a document
+    whose text trims to nothing contributes no rows (``split`` of ''
+    yields ['']).
+
+    ``token_hash_fn``: token Column -> int64 Column (default xxhash64).
+    ``compose_fn``: list of n (possibly null-tailed) token-hash Columns
+    -> gram-hash Column.  Default ``xxhash64(*cols)`` — Spark hash
+    expressions skip null inputs, which matches the single clamped
+    short-document gram (< n tokens).  The oracle-checked queries pass
+    ``portable_hash.phash62`` / ``portable_hash.compose62`` so DuckDB
+    recomputes identical values from the same per-token hash list.
+    """
+    from pyspark.sql import Window
+
+    token_hash_fn = token_hash_fn or F.xxhash64
+    compose_fn = compose_fn or (lambda cols: F.xxhash64(*cols))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    t = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    ).select("id", "pos", token_hash_fn(F.col("tok")).alias("th"))
+    w = Window.partitionBy("id").orderBy("pos")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    parts = [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, n)]
+    g = t.select("id", "pos", compose_fn(parts).alias("gh"), cnt.alias("__cnt"))
+    return g.where(
+        (F.col("pos") <= F.col("__cnt") - n)
+        | ((F.col("pos") == 0) & (F.col("__cnt") < n))
+    ).drop("__cnt")
+
+
 ENGLISH_STOPWORDS = [
     "the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
     "for", "on", "are", "as", "with", "his", "they", "at", "be", "this",
@@ -105,24 +153,23 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def fingerprint_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 5, window: int = 4, hash_fn=None,
+    k: int = 5, window: int = 4, token_hash_fn=None, compose_fn=None,
 ) -> DataFrame:
     """Winnowing fingerprint as exploded scalar rows: (id, fingerprint)
     distinct — the driver-gate/oracle-friendly shape (one row per selected
     k-gram hash; the array form below is collect_set over this stream).
 
-    ``hash_fn`` maps the gram Column to an int64 hash Column.  Default is
-    JVM-side ``xxhash64`` (production); the oracle-checked query surface
-    passes the engine-portable polynomial hash
-    (functions/portable_hash.py) so DuckDB can recompute the whole
-    winnowing pipeline bit-exactly.
+    Gram hashes come from :func:`exploded_ngram_hashes` — per-token
+    hashing with composed gram hashes (defaults xxhash64/xxhash64 for
+    production; the oracle-checked query passes the engine-portable
+    ``phash62``/``compose62`` pair so DuckDB recomputes the whole
+    winnowing pipeline bit-exactly).
     """
     from pyspark.sql import Window
 
-    hash_fn = hash_fn or F.xxhash64
-    g = exploded_ngrams(docs, id_col, text_col, k).select(
-        F.col("id").alias(id_col), "pos", hash_fn(F.col("gram")).alias("gh")
-    )
+    g = exploded_ngram_hashes(
+        docs, id_col, text_col, k, token_hash_fn, compose_fn
+    ).select(F.col("id").alias(id_col), "pos", "gh")
     w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     w_cnt = Window.partitionBy(id_col)
     mins = (
@@ -140,12 +187,14 @@ def fingerprint_rows(
 
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 5, window: int = 4, hash_fn=None,
+    k: int = 5, window: int = 4, token_hash_fn=None, compose_fn=None,
 ) -> DataFrame:
     """Winnowing fingerprint set per document (MOSS-style signature):
     k-gram rolling hashes -> per-window minimum -> distinct sorted array.
     Returns (id, fingerprints: array<bigint> sorted)."""
-    rows = fingerprint_rows(docs, id_col, text_col, k, window, hash_fn)
+    rows = fingerprint_rows(
+        docs, id_col, text_col, k, window, token_hash_fn, compose_fn
+    )
     return rows.groupBy(id_col).agg(
         F.array_sort(F.collect_set("fingerprint")).alias("fingerprints")
     )

@@ -578,21 +578,57 @@ SQL_KNN_COSINE = (
 )
 
 
+from webindex_spark.functions import portable_hash as ph
+
+
+def _sql_gram_hashes(n: int, with_pos: bool = False) -> str:
+    """CTEs ``t``/``th``/``gr`` yielding each document's composed n-gram
+    hashes: every token hashed ONCE (phash62), gram hash composed from
+    the n token hashes — the DuckDB twin of
+    ``textstats.exploded_ngram_hashes(..., phash62, compose62)``,
+    bit-exact including the clamped short-document gram (slice clamp ==
+    Spark's null-skipped leads) and empty-token filtering."""
+    head = (
+        "WITH t AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "tk -> length(tk) > 0) AS toks FROM documents), "
+        f"th AS (SELECT doc_id, list_transform(toks, tk -> {ph.sql_phash62('tk')}) AS ths FROM t), "
+    )
+    rng = f"range(1, greatest(len(ths) - {n - 1}, 1) + 1)"
+    comp = ph.sql_compose62_slice(f"ths[i:i+{n - 1}]")
+    if with_pos:
+        return head + (
+            f"gr0 AS (SELECT doc_id AS id, unnest(list_transform({rng}, "
+            f"i -> {{'pos': i - 1, 'gh': {comp}}})) AS pg FROM th WHERE len(ths) > 0), "
+            "gr AS (SELECT id, pg.pos AS pos, pg.gh AS gh FROM gr0)"
+        )
+    return head + (
+        f"gr AS (SELECT doc_id AS id, unnest(list_transform({rng}, i -> {comp})) AS gh "
+        "FROM th WHERE len(ths) > 0)"
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True word-3-gram Jaccard between consecutive documents — the exact
     verifier of the dedup stack, oracle-checkable because the pair set is
     defined relationally (doc_id, doc_id+1) instead of via LSH buckets."""
-    from webindex_spark.operators.textstats import exploded_ngrams
+    from webindex_spark.operators.textstats import exploded_ngram_hashes
 
     docs = _docs(spark, sf_dir)
-    # |A∩B| via an exploded distinct-gram join rather than array_intersect
-    # on joined gram arrays: array expressions re-evaluate per use (no CSE
-    # across higher-order lambdas), and the exploded form is one hash join
-    # keyed by (doc, gram) — linear and shuffle-parallel
+    # |A∩B| via an exploded distinct-gram-HASH join: tokens hashed once,
+    # gram keys composed (8-byte longs instead of gram strings in the
+    # shuffle and join — see exploded_ngram_hashes), one hash join keyed
+    # by (doc, gh) — linear and shuffle-parallel.  62-bit keys make a
+    # collision perturbing a Jaccard count negligible, and the DuckDB
+    # twin composes the identical keys.
     g = (
-        exploded_ngrams(docs, "doc_id", "text", 3)
-        .select(F.col("id").alias("doc_id"), "gram")
+        exploded_ngram_hashes(docs, "doc_id", "text", 3, ph.phash62, ph.compose62)
+        .select(F.col("id").alias("doc_id"), "gh")
         .distinct()
+        # three consumers (sizes + both self-join sides): materialize the
+        # ~16-byte-per-row gram set once instead of re-running the
+        # tokenize/hash/window pipeline per consumer
+        .localCheckpoint(eager=False)
     )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -600,7 +636,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             g.alias("b"),
             (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-            & (F.col("a.gram") == F.col("b.gram")),
+            & (F.col("a.gh") == F.col("b.gh")),
         )
         .groupBy(F.col("a.doc_id").alias("id_a"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -620,15 +656,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD = (
-    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
-    "g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
-    "i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM t) "
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
-    "len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard "
-    "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
-)
+def _sql_ngram_jaccard() -> str:
+    from webindex_spark.functions import portable_hash as ph  # noqa: F401
+
+    return (
+        f"{_sql_gram_hashes(3)}, "
+        "g AS (SELECT DISTINCT id AS doc_id, gh FROM gr), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, COUNT(*) AS n_inter FROM g a "
+        "JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gh = a.gh GROUP BY a.doc_id) "
+        "SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, "
+        "CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / "
+        "(sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard "
+        "FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1 "
+        "LEFT JOIN inter i ON i.id_a = sa.doc_id"
+    )
+
+
+SQL_NGRAM_JACCARD = _sql_ngram_jaccard()
 
 
 def q_part_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,21 +779,13 @@ SQL_SUPPLIER_DISTINCT = (
 # winnowing windows, and LSH re-ranking are all certified end-to-end by
 # the driver's value-hash compare instead of a weak rows-only check.
 
-from webindex_spark.functions import portable_hash as ph
-
-_SQL_DOC_GRAMS3 = (
-    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
-    "gr AS (SELECT doc_id AS id, unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
-    "i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM t)"
-)
-
-
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
     return dedup.minhash_dedup(
-        docs, threshold=0.5, hash_fn=ph.phash31, bucket_fn=ph.fold31
+        docs, threshold=0.5,
+        token_hash_fn=ph.phash62, compose_fn=ph.compose62, bucket_fn=ph.fold31,
     )
 
 
@@ -767,8 +804,8 @@ def _sql_minhash_pairs(k: int = 32, bands: int = 8, max_bucket: int = 50,
         for b in range(bands)
     )
     return (
-        f"{_SQL_DOC_GRAMS3}, "
-        f"sh AS (SELECT DISTINCT id, {ph.sql_phash31('gram')} AS h FROM gr WHERE length(gram) > 0), "
+        f"{_sql_gram_hashes(3)}, "
+        "sh AS (SELECT DISTINCT id, gh AS h FROM gr), "
         f"sig AS (SELECT id, {mins} FROM sh GROUP BY id), "
         f"bands AS ({band_rows}), "
         "bounded AS (SELECT id, band, bucket FROM (SELECT id, band, bucket, "
@@ -797,7 +834,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "simhash")
 
 
-def _sql_simhash(nbits: int = 62) -> str:
+def _sql_simhash(nbits: int = 62, max_tokens: int = 32767) -> str:
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
         for i in range(nbits)
@@ -807,8 +844,13 @@ def _sql_simhash(nbits: int = 62) -> str:
         for i in range(nbits)
     )
     return (
-        "WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
-        f"h AS (SELECT doc_id, {ph.sql_phash62('tok')} AS h FROM tk WHERE length(tok) > 0), "
+        # mirror dedup.simhash exactly: drop empty tokens FIRST, then cap
+        # to the first max_tokens via a (clamped) slice — a >=32767-token
+        # document hashes the same token multiset in both engines
+        "WITH tk AS (SELECT doc_id, unnest((list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"tk -> length(tk) > 0))[1:{max_tokens}]) AS tok FROM documents), "
+        f"h AS (SELECT doc_id, {ph.sql_phash62('tok')} AS h FROM tk), "
         f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM s"
     )
@@ -824,20 +866,17 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import textstats
 
     return textstats.fingerprint_rows(
-        _docs(spark, sf_dir), hash_fn=ph.phash31
+        _docs(spark, sf_dir), token_hash_fn=ph.phash62, compose_fn=ph.compose62
     )
 
 
 def _sql_fingerprints(k: int = 5, window: int = 4) -> str:
     return (
-        "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
-        f"g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-{k - 1}, 1)+1), "
-        f"i -> {{'pos': i-1, 'gram': array_to_string(toks[i:i+{k - 1}], ' ')}})) AS pg FROM t), "
-        "g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g), "
-        f"gh AS (SELECT doc_id, pos, {ph.sql_phash31('gram')} AS gh, "
-        "COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g2), "
+        f"{_sql_gram_hashes(k, with_pos=True)}, "
+        "ghn AS (SELECT id AS doc_id, pos, gh, "
+        "COUNT(*) OVER (PARTITION BY id) AS n FROM gr), "
         "mins AS (SELECT doc_id, pos, n, MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos "
-        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m FROM gh) "
+        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m FROM ghn) "
         f"SELECT DISTINCT doc_id, m AS fingerprint FROM mins WHERE pos <= n - {window} OR pos = 0"
     )
 
