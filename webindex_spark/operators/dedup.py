@@ -279,6 +279,9 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) ->
             for b in range(blocks)
         ])).alias("c"),
     ).select("id", "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
+    # both self-join sides read the chunk table: materialize it once
+    # instead of running the upstream signature aggregation twice
+    chunks = chunks.localCheckpoint(eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

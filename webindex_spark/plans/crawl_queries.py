@@ -859,6 +859,43 @@ def _sql_simhash(nbits: int = 62, max_tokens: int = 32767) -> str:
 SQL_SIMHASH = _sql_simhash()
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-close simhash pairs via the block trick (dedup.py:
+    simhash_near_pairs): any pair within max_hamming=3 shares at least
+    one of 4 exact 16-bit chunks, so candidates come from per-chunk
+    equi-joins — bucketed, never all-pairs — then the full distance is
+    verified with bit_count(xor)."""
+    from webindex_spark.operators import dedup
+
+    sig = dedup.simhash(_docs(spark, sf_dir), hash_fn=ph.phash62, nbits=62)
+    out = dedup.simhash_near_pairs(sig, max_hamming=3, blocks=4)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _sql_simhash_near_pairs(max_hamming: int = 3, blocks: int = 4,
+                            nbits: int = 62) -> str:
+    """DuckDB replays the identical block-trick join over the portable
+    62-bit signatures: chunk extraction, per-chunk candidate join, and
+    bit_count(xor) verification — the whole pipeline value-certified."""
+    width = 64 // blocks
+    return (
+        f"WITH sig AS ({_sql_simhash(nbits)}), "
+        f"chunks AS (SELECT doc_id, simhash, b.blk AS blk, "
+        f"(simhash >> (b.blk * {width})) & {(1 << width) - 1} AS chunk "
+        f"FROM sig, (SELECT unnest(range({blocks})) AS blk) b), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.simhash AS ha, b.simhash AS hb FROM chunks a "
+        "JOIN chunks b ON a.blk = b.blk AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"
+    )
+
+
+SQL_SIMHASH_NEAR_PAIRS = _sql_simhash_near_pairs()
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints as exploded scalar (doc_id, fingerprint)
     rows — the round-1 array<bigint> shape crashed the driver's
@@ -1023,6 +1060,7 @@ QUERIES: dict = {
     # the xxhash64 production path is locked by tests/ python oracles)
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
