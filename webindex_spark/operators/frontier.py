@@ -25,8 +25,14 @@ politeness only — no seen join needed there) and unseen-filters the newly
 extracted children separately; the streaming-topology composition of the
 same operators (candidates arriving and being unseen-filtered + scheduled
 in ONE job) is `operators/sched_pipeline.schedule_frontier`, the fused
-single-exchange plan the scaling benchmark measures — its equivalence to
-the chain used here is locked by tests/test_sched_pipeline.py.
+single-exchange plan the scaling benchmark measures.  Both paths now rank
+through the SAME core (politeness.ranked_slots), so the epoch's schedule
+is plan-identical to the benchmarked windows: robots broadcast gate (no
+exchange) -> phase-1 (host, salt) exchange -> survivor-sized host
+exchange — exactly two, locked by
+tests/test_sched_pipeline.py::test_epoch_schedule_path_two_exchanges;
+with an Iceberg frontier bucketed by (host, salt) at rest the phase-1
+exchange disappears (ranked_slots docstring; docs/PLANS.md).
 
 Metric names follow the reference's ten Grafana meters
 (PageObserver.java:66-68, UriCombineQ.java:54-55, DomainCombineQ.java:42-43,

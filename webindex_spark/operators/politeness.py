@@ -31,6 +31,44 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def ranked_slots(
+    salted: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    uri_col: str = "uri",
+    priority_col: str = "priority",
+    delay_col: str = "crawl_delay",
+    salt_name: str = "__salt",
+) -> DataFrame:
+    """The shared two-phase ranking core over an already-salted input —
+    THE implementation behind both the production epoch path
+    (:func:`schedule`, called by frontier.run_epoch) and the fused
+    scheduling pipeline (sched_pipeline.schedule_frontier), so the plan
+    the scaling benchmark certifies is the plan the crawl runs.
+
+    Physical shape: exactly TWO hash exchanges — the phase-1
+    (host, salt) window over the full input and the phase-2 host window
+    over ≤ n_salts × budget survivors per host (locked by
+    tests/test_sched_pipeline.py exchange-count assertions).  When the
+    input is already partitioned by (host, salt) — the fused pipeline's
+    single up-front exchange, or an at-rest-bucketed frontier table on
+    Iceberg — phase 1 reuses it and only the survivor exchange remains.
+    """
+    order = [F.desc(priority_col), F.asc(uri_col)]
+    w1 = Window.partitionBy(host_col, salt_name).orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= budget)
+        .drop(salt_name, "__r1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        survivors.withColumn("slot", F.row_number().over(w2).cast("long") - 1)
+        .where(F.col("slot") < budget)
+        .withColumn("tick", (F.col("slot") * F.col(delay_col)).cast("double"))
+    )
+
+
 def schedule(
     frontier: DataFrame,
     budget: int,
@@ -42,21 +80,9 @@ def schedule(
 ) -> DataFrame:
     """Pick ≤ budget URLs per host, assign ``slot`` (0-based fetch order
     within host/epoch) and ``tick`` (= slot * crawl_delay)."""
-    order = [F.desc(priority_col), F.asc(uri_col)]
-
     salted = frontier.withColumn(
         "__salt", F.pmod(F.xxhash64(F.lit("sched"), F.col(uri_col)), F.lit(n_salts))
     )
-    w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
-    survivors = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= budget)
-        .drop("__salt", "__r1")
-    )
-
-    w2 = Window.partitionBy(host_col).orderBy(*order)
-    return (
-        survivors.withColumn("slot", F.row_number().over(w2).cast("long") - 1)
-        .where(F.col("slot") < budget)
-        .withColumn("tick", (F.col("slot") * F.col(delay_col)).cast("double"))
+    return ranked_slots(
+        salted, budget, host_col, uri_col, priority_col, delay_col, "__salt"
     )

@@ -40,26 +40,28 @@ phase-1-never-discards argument as politeness.schedule (its docstring).
 Bloom tier: with a broadcastable filter the anti-join above is already
 exchange-free, so a pre-probe would add per-row hash work and prune
 nothing — the fused path therefore probes only in cogroup mode (filter
-too big to broadcast, the 10^10 sizing), where the probe's pid-shuffle
-replaces the candidate exchange and only the maybe-seen slice (a few %)
-pays a co-located anti-join against the bucketed seen table.
+too big to broadcast, the 10^10 sizing).  There the filter shards are
+keyed by the SAME (host, salt) buckets (seen.host_salt_pid), so the
+probe's shuffle IS the scheduling exchange: the cogroup kernel runs the
+bit probe and the phase-1 politeness pre-rank together, and everything
+after it — the maybe-slice anti-join against the at-rest-bucketed seen
+table and the final ranking windows — is survivor-sized.  One
+candidate-sized exchange in BOTH regimes.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
 
 from webindex_spark.operators import robots as robots_ops
 from webindex_spark.operators import seen as seen_ops
+from webindex_spark.operators.seen import salt_col  # shared salt definition
 
 SALT_COL = "__salt"
-
-
-def salt_col(uri_col: str = "uri", n_salts: int = 8) -> F.Column:
-    """The politeness salt — a pure function of the canonical uri, so any
-    table storing uris can be bucketed by it at rest."""
-    return F.pmod(F.xxhash64(F.lit("sched"), F.col(uri_col)), F.lit(n_salts))
 
 
 def partition_for_schedule(
@@ -79,6 +81,75 @@ def partition_for_schedule(
     if num_partitions:
         return salted.repartition(num_partitions, *cols)
     return salted.repartition(*cols)
+
+
+def _probe_prerank_cogroup(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    budget: int,
+    *,
+    uri_col: str,
+    host_col: str,
+    n_salts: int,
+    k: int,
+    bits: int,
+    n_partitions: int,
+) -> DataFrame:
+    """Fused Arrow kernel for the too-big-to-broadcast filter regime:
+    per (host, salt)-derived shard, run the vectorized Bloom bit probe
+    AND the phase-1 politeness pre-rank of the fresh rows in one pass.
+
+    Output: candidate columns + ``__salt`` + ``maybe_seen``; fresh rows
+    are already cut to ≤ budget per (host, salt) (safe: a row in the
+    exact top-budget of its host ranks ≤ budget within its (host, salt)
+    group among ALL unseen rows, hence also among the fresh subset —
+    the same never-discards argument as politeness.schedule's phase 1);
+    maybe rows pass through un-ranked for the exact-tier anti-join.
+
+    Skew: a (host, salt) group lands whole in one shard by design — a
+    host with p% of all candidates puts p/n_salts % in one task.  That
+    replaces round 2's perfectly-spread uri-hash pid, and is the price
+    of eliminating the second candidate-sized exchange; n_salts is the
+    lever (the politeness phase-2 cost grows only with n_salts × budget
+    per host)."""
+    pid = seen_ops.host_salt_pid(host_col, uri_col, n_salts, n_partitions)
+    cand = seen_ops._with_hashes(
+        candidates.withColumn(SALT_COL, salt_col(uri_col, n_salts)),
+        uri_col, n_partitions, pid_expr=pid,
+    )
+    cols = [f.name for f in cand.schema.fields if f.name not in ("h1", "h2", "pid")]
+    out_schema = T.StructType(
+        [f for f in cand.schema.fields if f.name not in ("h1", "h2", "pid")]
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+    def kernel(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0:
+            maybe = np.zeros(len(cdf), dtype=bool)
+        else:
+            words = np.asarray(bdf["words"].iloc[0], dtype=np.int64).view(np.uint64)
+            idx = seen_ops._indices(
+                cdf["h1"].to_numpy(), cdf["h2"].to_numpy(), k, bits
+            )
+            hit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+            maybe = hit.astype(bool).all(axis=1)
+        out = cdf[cols].copy()
+        out["maybe_seen"] = maybe
+        fresh = out[~maybe]
+        if len(fresh):
+            fresh = fresh.sort_values(
+                [host_col, SALT_COL, "priority", uri_col],
+                ascending=[True, True, False, True],
+            )
+            keep = fresh.groupby([host_col, SALT_COL], sort=False).cumcount() < budget
+            fresh = fresh[keep.values]
+        return pd.concat([fresh, out[maybe]])
+
+    return (
+        cand.groupBy("pid")
+        .cogroup(bloom.groupBy("pid"))
+        .applyInPandas(kernel, schema=out_schema)
+    )
 
 
 def schedule_frontier(
@@ -138,20 +209,42 @@ def schedule_frontier(
     )
 
     if cogroup_mode:
-        # 10^10 sizing: the cogroup probe's pid-shuffle carries the
-        # candidates (pre-partitioning by (host, salt) first would only be
-        # destroyed by it); only the maybe slice (~hit rate + fpp) joins
-        # the seen table, and the phase-1 window's exchange below re-keys
-        # the survivors by (host, salt).
-        probed = seen_ops.bloom_probe(
-            allowed, bloom, uri_col, k, bits, n_partitions
+        # 10^10 sizing, ONE candidate-sized exchange total: the filter
+        # shards are keyed by host_salt_pid — the SAME (host, salt)
+        # buckets the seen table uses at rest and the politeness windows
+        # partition by — so every (host, salt) group arrives whole at its
+        # shard and the cogroup kernel does BOTH the numpy bit probe and
+        # the phase-1 politeness pre-rank of the definitely-fresh rows
+        # (≤ budget per (host, salt) survive).  Everything downstream is
+        # survivor- or maybe-sized: the maybe slice (hit rate + fpp)
+        # anti-joins the at-rest-bucketed seen table (its small side
+        # shuffles; seen does not), and the final windows rank the small
+        # union.  Round-2's plan paid TWO candidate-sized exchanges here
+        # (uri-hash probe pid + window re-key) and measured 0.706 N->4N
+        # scaling; the bloom table MUST be built with the same
+        # host_salt_pid (bloom_insert(pid_expr=...)).
+        out = _probe_prerank_cogroup(
+            allowed, bloom, budget, uri_col=uri_col, host_col=host_col,
+            n_salts=n_salts, k=k, bits=bits, n_partitions=n_partitions,
         ).localCheckpoint(eager=False)
-        fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed = maybe.join(seen.select(uri_col), uri_col, "left_anti")
-        unseen = fresh.unionByName(confirmed).withColumn(
-            SALT_COL, salt_col(uri_col, n_salts)
-        )
+        fresh = out.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = out.where(F.col("maybe_seen")).drop("maybe_seen")
+        if seen is None:
+            confirmed = maybe
+        else:
+            if seen_prepartitioned and SALT_COL in seen.columns:
+                s = seen.select(uri_col, host_col, SALT_COL)
+            elif seen_prepartitioned:
+                s = seen.select(uri_col, host_col).withColumn(
+                    SALT_COL, salt_col(uri_col, n_salts)
+                )
+            else:
+                s = partition_for_schedule(
+                    seen.select(uri_col, host_col), uri_col, host_col,
+                    n_salts, num_partitions,
+                )
+            confirmed = maybe.join(s, [uri_col, host_col, SALT_COL], "left_anti")
+        unseen = fresh.unionByName(confirmed)
     else:
         # broadcast-filter regime: the exact anti-join is exchange-free on
         # the shared (host, salt) partitioning, so a bloom pre-probe would
@@ -180,16 +273,8 @@ def schedule_frontier(
             # CPU that scales with cores, unlike an exchange.
             unseen = cand.join(s, [uri_col, host_col, SALT_COL], "left_anti")
 
-    order = [F.desc("priority"), F.asc(uri_col)]
-    w1 = Window.partitionBy(host_col, SALT_COL).orderBy(*order)
-    survivors = (
-        unseen.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= budget)
-        .drop(SALT_COL, "__r1")
-    )
-    w2 = Window.partitionBy(host_col).orderBy(*order)
-    return (
-        survivors.withColumn("slot", F.row_number().over(w2).cast("long") - 1)
-        .where(F.col("slot") < budget)
-        .withColumn("tick", (F.col("slot") * F.col("crawl_delay")).cast("double"))
+    from webindex_spark.operators import politeness
+
+    return politeness.ranked_slots(
+        unseen, budget, host_col=host_col, uri_col=uri_col, salt_name=SALT_COL
     )

@@ -67,13 +67,48 @@ def empty_bloom(spark: SparkSession, n_partitions: int, bits: int) -> DataFrame:
     return spark.createDataFrame(rows, schema=BLOOM_SCHEMA)
 
 
-def _with_hashes(df: DataFrame, uri_col: str, n_partitions: int) -> DataFrame:
-    """JVM-side hashing: partition id + the two reduced index hashes."""
+def salt_col(uri_col: str = "uri", n_salts: int = 8) -> F.Column:
+    """The politeness salt — a pure function of the canonical uri, shared
+    by the scheduling pipeline (sched_pipeline.py re-exports this) and the
+    (host, salt)-derived filter-shard pid below."""
+    return F.pmod(F.xxhash64(F.lit("sched"), F.col(uri_col)), F.lit(n_salts))
+
+
+def host_salt_pid(
+    host_col: str, uri_col: str, n_salts: int, n_partitions: int
+) -> F.Column:
+    """Filter-shard pid derived from the SAME (host, salt) key the seen
+    table is bucketed by at rest and the politeness phase-1 window
+    partitions by.  With this pid the 10^10-regime probe's shuffle IS the
+    scheduling exchange: every (host, salt) group lands whole in one
+    shard, so the cogroup kernel can pre-rank it for politeness and no
+    second candidate-sized exchange exists (the round-2 plan paid two —
+    uri-hash pid probe + (host, salt) window — and measured 0.706
+    scaling).  Skew bound: a host holding p% of candidates puts p/n_salts
+    % in its largest shard — choose n_salts accordingly."""
+    return F.pmod(
+        F.xxhash64(F.lit("pid"), F.col(host_col), salt_col(uri_col, n_salts)),
+        F.lit(n_partitions),
+    ).cast("int")
+
+
+def _with_hashes(
+    df: DataFrame, uri_col: str, n_partitions: int, pid_expr: F.Column | None = None
+) -> DataFrame:
+    """JVM-side hashing: partition id + the two reduced index hashes.
+
+    ``pid_expr`` overrides the shard id (default: uri hash).  Insert and
+    probe must use the SAME pid function for a given filter table; the
+    bit positions (h1/h2) are pid-independent, so the pid only chooses
+    which shard owns a uri's bits."""
     c = F.col(uri_col)
+    pid = (
+        pid_expr
+        if pid_expr is not None
+        else F.pmod(F.xxhash64(F.lit("pid"), c), F.lit(n_partitions)).cast("int")
+    )
     return (
-        df.withColumn(
-            "pid", F.pmod(F.xxhash64(F.lit("pid"), c), F.lit(n_partitions)).cast("int")
-        )
+        df.withColumn("pid", pid)
         .withColumn("h1", F.pmod(F.xxhash64(F.lit("h1"), c), F.lit(_H31)))
         .withColumn(
             "h2", F.pmod(F.xxhash64(F.lit("h2"), c), F.lit(_H31)).bitwiseOR(F.lit(1))
@@ -93,21 +128,25 @@ def _indices(h1: np.ndarray, h2: np.ndarray, k: int, bits: int) -> np.ndarray:
 
 def bloom_probe(
     candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
-    n_partitions: int,
+    n_partitions: int, pid_expr=None,
 ) -> DataFrame:
     """candidates + boolean ``maybe_seen``. Physical mode by filter size."""
     if n_partitions * (bits // 8) <= BROADCAST_BLOOM_MAX_BYTES:
-        return _bloom_probe_jvm(candidates, bloom, uri_col, k, bits, n_partitions)
-    return _bloom_probe_cogroup(candidates, bloom, uri_col, k, bits, n_partitions)
+        return _bloom_probe_jvm(
+            candidates, bloom, uri_col, k, bits, n_partitions, pid_expr
+        )
+    return _bloom_probe_cogroup(
+        candidates, bloom, uri_col, k, bits, n_partitions, pid_expr
+    )
 
 
 def _bloom_probe_jvm(
     candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
-    n_partitions: int,
+    n_partitions: int, pid_expr=None,
 ) -> DataFrame:
     """Pure-Catalyst probe: broadcast join on pid + k getbit tests in
     codegen.  No shuffle (broadcast), no Python."""
-    cand = _with_hashes(candidates, uri_col, n_partitions)
+    cand = _with_hashes(candidates, uri_col, n_partitions, pid_expr)
     j = cand.join(F.broadcast(bloom), "pid", "left")
     test = F.lit(True)
     for i in range(k):
@@ -121,10 +160,10 @@ def _bloom_probe_jvm(
 
 def _bloom_probe_cogroup(
     candidates: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
-    n_partitions: int,
+    n_partitions: int, pid_expr=None,
 ) -> DataFrame:
     """Shuffle-cogroup probe for filters too large to broadcast."""
-    cand = _with_hashes(candidates, uri_col, n_partitions)
+    cand = _with_hashes(candidates, uri_col, n_partitions, pid_expr)
     out_schema = T.StructType(
         [f for f in cand.schema.fields if f.name not in ("h1", "h2")]
         + [T.StructField("maybe_seen", T.BooleanType(), False)]
@@ -153,10 +192,15 @@ def _bloom_probe_cogroup(
 
 def bloom_insert(
     uris: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
-    n_partitions: int,
+    n_partitions: int, pid_expr=None,
 ) -> DataFrame:
-    """Returns the updated bloom table (all n_partitions rows present)."""
-    cand = _with_hashes(uris.select(uri_col), uri_col, n_partitions)
+    """Returns the updated bloom table (all n_partitions rows present).
+
+    ``uris`` may carry extra columns (e.g. host, when ``pid_expr``
+    derives the shard from it); only pid/h1/h2 feed the kernel."""
+    cand = _with_hashes(uris, uri_col, n_partitions, pid_expr).select(
+        "pid", "h1", "h2"
+    )
 
     def insert(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -185,6 +229,7 @@ def filter_unseen(
     k: int,
     bits: int,
     n_partitions: int,
+    pid_expr=None,
 ) -> DataFrame:
     """The two-tier unseen filter.
 
@@ -194,7 +239,9 @@ def filter_unseen(
     """
     if bloom is None:
         return candidates.join(seen.select(uri_col), uri_col, "left_anti")
-    probed = bloom_probe(candidates, bloom, uri_col, k, bits, n_partitions)
+    probed = bloom_probe(
+        candidates, bloom, uri_col, k, bits, n_partitions, pid_expr
+    )
     if n_partitions * (bits // 8) > BROADCAST_BLOOM_MAX_BYTES:
         # cogroup mode runs Python: materialize so the two union branches
         # below don't execute the probe twice

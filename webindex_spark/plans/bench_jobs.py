@@ -80,15 +80,19 @@ def frontier_throughput_job(
     pre_seen = frontier.where(
         F.pmod(F.xxhash64(F.lit("seen"), F.col("uri")), F.lit(seen_frac)) == 0
     ).select("uri", "host")
-    bloom = seen_ops.bloom_insert(
-        pre_seen.select("uri"), seen_ops.empty_bloom(spark, n_parts, bits),
-        "uri", k, bits, n_parts,
-    )
-    bloom = bloom.localCheckpoint(eager=True)         # build cost excluded
     # 4 salts: enough to spread the hot host 4x in the window sorts while
     # keeping the phase-2 exchange at <= 4*budget rows per host (the salt
     # count must match the seen table's at-rest layout — same join key)
     n_salts = 4
+    # filter shards keyed by (host, salt) — the fused cogroup plan's
+    # requirement (shard pid == window key == seen bucket key); harmless
+    # for the broadcast regime, whose probe never shuffles anyway
+    pid = seen_ops.host_salt_pid("host", "uri", n_salts, n_parts)
+    bloom = seen_ops.bloom_insert(
+        pre_seen, seen_ops.empty_bloom(spark, n_parts, bits),
+        "uri", k, bits, n_parts, pid_expr=pid,
+    )
+    bloom = bloom.localCheckpoint(eager=True)         # build cost excluded
     seen_at_rest = sched_pipeline.partition_for_schedule(
         pre_seen, n_salts=n_salts, num_partitions=shuffle_n
     ).localCheckpoint(eager=True)                     # at-rest bucketed layout
