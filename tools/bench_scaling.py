@@ -106,8 +106,8 @@ def main():
     # skips the image job; run as a supplementary row at 20M/3 passes
     n_urls = 2_000_000 if quick else (20_000_000 if cogroup else 40_000_000)
     n_images = 0 if cogroup else (10_000 if quick else 150_000)
-    passes = 1 if quick else 2
-    rounds = 1 if quick else 2
+    passes = 1 if quick else (3 if cogroup else 2)
+    rounds = 1 if quick else (3 if cogroup else 2)
     lo, hi = 1, 4  # executors (x2 cores each) => N vs 4N
 
     # The host is a shared VM with slow windows (identical runs vary
@@ -124,9 +124,20 @@ def main():
     def eff(a, b, key, unit):
         return (b[key][unit] / a[key][unit]) / (hi / lo)
 
-    # fastest window = highest combined throughput across both levels
+    # HEADLINE = median across interleaved pairs (an unbiased-by-selection
+    # estimator; the per-pair interleaving already controls for the shared
+    # VM's slow windows).  The fastest-window pair is still reported —
+    # as the *least-contended* observation, not the headline.
+    import statistics
+
+    f_effs = sorted(eff(x, y, "frontier", "urls_per_sec") for x, y in pairs)
+    i_effs = sorted(eff(x, y, "images", "rows_per_sec") for x, y in pairs)
+    # least-contended window = highest combined per-executor throughput
+    # (the hi level's rate is divided by hi/lo so both levels contribute
+    # comparable per-executor numbers rather than letting the 4N level's
+    # absolute rate dominate the choice)
     best = max(pairs, key=lambda p: p[0]["frontier"]["urls_per_sec"]
-               + p[1]["frontier"]["urls_per_sec"] / 4)
+               + p[1]["frontier"]["urls_per_sec"] / (hi / lo))
     a, b = best
     summary = {
         "metric": "scaling_efficiency_cogroup" if cogroup else "scaling_efficiency",
@@ -137,8 +148,9 @@ def main():
         "image_rows_per_sec": {str(lo): a["images"]["rows_per_sec"],
                                 str(hi): b["images"]["rows_per_sec"]},
         "image_secs": {str(lo): a["images"]["secs"], str(hi): b["images"]["secs"]},
-        "efficiency_frontier": round(eff(a, b, "frontier", "urls_per_sec"), 3),
-        "efficiency_images": round(eff(a, b, "images", "rows_per_sec"), 3),
+        "efficiency_frontier": round(statistics.median(f_effs), 3),
+        "efficiency_images": round(statistics.median(i_effs), 3),
+        "efficiency_frontier_best_window": round(eff(a, b, "frontier", "urls_per_sec"), 3),
         "all_pairs": [
             {"frontier": round(eff(x, y, "frontier", "urls_per_sec"), 3),
              "images": round(eff(x, y, "images", "rows_per_sec"), 3),
