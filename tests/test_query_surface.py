@@ -34,10 +34,13 @@ def test_top_results_order_and_pagination(state):
 
 def test_page_details(state):
     pages, uc, _ = state
-    r = queries.page_details(pages, uc, "com.b>>o>/3")
-    assert r.count() == 0  # not a crawled page (no body)
+    # link-only target: reference getPage synthesizes new Page(uri) and
+    # still sets numInbound (IndexClient.java:131-135) — one row, not zero
+    r = queries.page_details(pages, uc, "com.b>>o>/3").collect()
+    assert len(r) == 1 and r[0]["stored"] is False
+    assert r[0]["num_inbound"] == 2  # set1: two referrers, never crawled
     r = queries.page_details(pages, uc, "com.a>>o>/1").collect()[0]
-    assert r["num_inbound"] == 0
+    assert r["num_inbound"] == 0 and r["stored"] is True
     assert len(r["outbound_links"]) == 3
 
 

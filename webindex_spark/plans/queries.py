@@ -38,12 +38,22 @@ def top_results(uri_counts: DataFrame, next_uri: str | None = None,
 
 def page_details(pages_state: DataFrame, uri_counts: DataFrame, uri: str) -> DataFrame:
     """Q2 getPage (IndexClient.java:101-136): point lookup joining the page
-    body with its inbound count."""
+    body with its inbound count.
+
+    Always returns exactly one row — the reference synthesizes an empty
+    ``new Page(uri)`` and still sets ``numInbound`` when no body is stored
+    (IndexClient.java:131-135; a page can be a link target the crawl never
+    fetched).  ``stored`` mirrors ``!Page.isEmpty()`` (Page.java:98-100)."""
+    base = pages_state.sparkSession.createDataFrame([(uri,)], "uri string")
     p = pages_state.where(F.col("uri") == uri)
     c = uri_counts.where(F.col("uri") == uri).select("uri", "links_to")
-    return p.join(c, "uri", "left").withColumn(
-        "num_inbound", F.coalesce("links_to", F.lit(0))
-    ).drop("links_to")
+    return (
+        base.join(p, "uri", "left")
+        .join(c, "uri", "left")
+        .withColumn("num_inbound", F.coalesce("links_to", F.lit(0)))
+        .withColumn("stored", F.col("url").isNotNull())
+        .drop("links_to")
+    )
 
 
 def domain_stats(domain_counts: DataFrame, domain: str) -> DataFrame:
