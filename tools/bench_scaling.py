@@ -104,11 +104,46 @@ def main():
     cogroup = "--cogroup" in sys.argv   # the 10^10-filter regime:
     # forces the cogroup bloom-probe branch (filter > broadcast cap) and
     # skips the image job; run as a supplementary row at 20M/3 passes
-    n_urls = 2_000_000 if quick else (20_000_000 if cogroup else 40_000_000)
+    curve = "--curve" in sys.argv       # third 8x2 point: 16 of 32 host
+    # cores — past the bus-headroom regime (see BASELINE.md), reported as
+    # the efficiency CURVE with the host ceiling caveat, not the headline
+    # 40M for BOTH regimes: at 20M the cogroup 4N level ran ~21 s and was
+    # partly fixed-overhead-bound (AQE planning, stage barriers, Arrow
+    # worker spin-up) — the same effect that moved the broadcast regime
+    # off 20M in round 2; doubling the input halved the overhead share
+    n_urls = 2_000_000 if quick else 40_000_000
     n_images = 0 if cogroup else (10_000 if quick else 150_000)
-    passes = 1 if quick else (3 if cogroup else 2)
+    passes = 1 if quick else 2
     rounds = 1 if quick else (3 if cogroup else 2)
     lo, hi = 1, 4  # executors (x2 cores each) => N vs 4N
+
+    if curve:
+        levels = [1, 4, 8]
+        rounds, passes = 2, 2
+        # one JSON line per (round, level); efficiency table at the end
+        rows = []
+        for _ in range(rounds):
+            rows.append([run_level(n, n_urls, n_images, passes, cogroup)
+                         for n in levels])
+        import statistics
+        out = {"metric": "scaling_curve" + ("_cogroup" if cogroup else ""),
+               "levels_executors_x_cores": [f"{n}x2" for n in levels],
+               "n_urls": n_urls, "n_images": n_images, "per_round": []}
+        for r in rows:
+            base = r[0]
+            out["per_round"].append({
+                f"{x['executors']}x2": {
+                    "frontier_urls_per_sec": x["frontier"]["urls_per_sec"],
+                    "eff_vs_1x2": round(
+                        x["frontier"]["urls_per_sec"]
+                        / base["frontier"]["urls_per_sec"] / x["executors"], 3),
+                } for x in r})
+        for n in levels[1:]:
+            effs = [r[levels.index(n)]["frontier"]["urls_per_sec"]
+                    / r[0]["frontier"]["urls_per_sec"] / n for r in rows]
+            out[f"efficiency_frontier_{n}x"] = round(statistics.median(effs), 3)
+        print(json.dumps(out))
+        return
 
     # The host is a shared VM with slow windows (identical runs vary
     # 30-70% hours apart).  N and 4N therefore run as INTERLEAVED pairs —
