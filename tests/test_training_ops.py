@@ -145,3 +145,36 @@ def test_lsh_topk_recall(spark, vectors):
     got = {r["q_id"]: r["vec_id"] for r in out.collect()}
     hits = sum(1 for q in range(20) if got.get(q) == q + 100)
     assert hits >= 14  # >=70% top-1 recall on planted neighbors (deterministic seeds)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vectors):
+    """Probing ALL cells makes IVF exact — bit-identical to brute force
+    (both re-rank with the same HOF cosine), the IVF correctness anchor."""
+    base, corpus, queries = vectors
+    ivf = simsearch.ivf_topk(
+        corpus, queries, dim=16, k=3, n_cells=8, n_probe=8
+    )
+    bf = simsearch.brute_force_topk(corpus, queries, k=3)
+    key = lambda r: (r["q_id"], r["rank"])
+    got = {key(r): (r["vec_id"], r["cosine"]) for r in ivf.collect()}
+    want = {key(r): (r["vec_id"], r["cosine"]) for r in bf.collect()}
+    assert got == want
+
+
+def test_ivf_topk_recall_and_cell_assignment(spark, vectors):
+    base, corpus, queries = vectors
+    out = simsearch.ivf_topk(
+        corpus, queries, dim=16, k=1, n_cells=8, n_probe=3
+    )
+    got = {r["q_id"]: r["vec_id"] for r in out.collect()}
+    hits = sum(1 for q in range(20) if got.get(q) == q + 100)
+    # a 0.05-sigma perturbation rarely crosses a Voronoi boundary; with
+    # 3/8 cells probed the planted neighbor's cell is nearly always seen
+    assert hits >= 14
+    # cell assignment matches the numpy oracle exactly (argmax dot with
+    # the shared seeded unit centroids, ties to lower cell)
+    cells = simsearch.ivf_assign(corpus, dim=16, n_cells=8, n_probe=1)
+    got_cells = {r["vec_id"]: r["cells"][0] for r in cells.collect()}
+    cent = simsearch.ivf_centroids(16, 8)
+    want_cells = np.argmax(base.astype(np.float64) @ cent.T, axis=1)
+    assert got_cells == {i: int(want_cells[i]) for i in range(len(base))}

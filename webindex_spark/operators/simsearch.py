@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two paths, as the training-pipeline brief requires:
+Three paths, as the training-pipeline brief requires:
 
   * **brute force** (the correctness baseline): query × corpus cosine via
     higher-order functions (``zip_with`` + ``aggregate``) — dot products
@@ -14,6 +14,14 @@ Two paths, as the training-pipeline brief requires:
     buckets only.  Recall tunes with H (bucket granularity) and tables;
     the candidate join is hash-partitioned by bucket so it scales the way
     a 100 TB ANN sweep must — no global pairwise stage.
+  * **IVF** (inverted-file, the other classic scale path): a coarse
+    quantizer assigns every corpus vector to its nearest centroid cell
+    ONCE (one Arrow matmul pass — the same legitimate-pandas-UDF case as
+    add_signatures); queries probe their ``n_probe`` nearest cells and
+    exact cosine re-ranks only inside probed cells.  At 100 TB the corpus
+    is partitioned by cell at rest, so a query touches n_probe/n_cells of
+    the data; probing ALL cells recovers exact brute force (the
+    equivalence pytest locks this).
 """
 
 from __future__ import annotations
@@ -152,6 +160,75 @@ def near_dup_pairs(
         cands.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids.
+
+    Seeded-random (not trained) so the DuckDB oracle can replay them as
+    SQL literals — the production path would train them with k-means||
+    over a corpus sample and broadcast the result; every shape downstream
+    (assign, probe, re-rank) is identical either way."""
+    rng = np.random.Generator(np.random.PCG64(seed + 104729))
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    df: DataFrame, dim: int, n_cells: int = 16, n_probe: int = 1,
+    vec_col: str = "embedding", out_col: str = "cells", seed: int = 42,
+) -> DataFrame:
+    """``out_col`` = the ``n_probe`` nearest cells (array<int>, by dot
+    with the unit centroids, descending; ties to the lower cell id —
+    centroids are unit-norm so argmax dot == argmax cosine).  One BLAS
+    matmul per Arrow batch; corpus assignment uses n_probe=1."""
+    cent_t = ivf_centroids(dim, n_cells, seed).T  # (dim, n_cells)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        d = m @ cent_t                                # (rows, n_cells)
+        # stable sort: dot DESC then cell ASC (lexsort's last key is primary)
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(n_cells), d.shape), -d), axis=1
+        )[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return df.withColumn(out_col, cells(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """IVF ANN top-k: probe the query's ``n_probe`` nearest cells, exact
+    cosine re-rank inside them (HOF dot — JVM-side, bit-stable).
+
+    Scale posture: the corpus is assigned once and joins on its single
+    cell key (at rest this is the table's partition column); queries
+    broadcast with their probed-cell list exploded, so a query scans
+    ~n_probe/n_cells of the corpus and no stage is all-pairs."""
+    from pyspark.sql import Window
+
+    c = ivf_assign(corpus, dim, n_cells, 1, vec_col, "__cells", seed).select(
+        id_col, vec_col, F.col("__cells")[0].alias("cell")
+    )
+    q = ivf_assign(
+        queries, dim, n_cells, n_probe, q_vec_col, "__cells", seed
+    ).select(q_id_col, q_vec_col, F.explode("__cells").alias("cell"))
+    cands = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, vec_col, q_vec_col)
+    )
+    scored = cands.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def lsh_topk(

@@ -982,6 +982,70 @@ def _sql_knn_lsh(dim: int = 64, n_planes: int = 8, tables: int = 3, k: int = 5) 
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: coarse-quantizer cell assignment (one Arrow matmul
+    pass), queries probe their 4 nearest of 16 cells, exact HOF cosine
+    re-ranks inside probed cells only.  The inverted-file counterpart of
+    knn_lsh; at scale the corpus partitions by cell at rest."""
+    from webindex_spark.operators import simsearch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    out = simsearch.ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "q_id", "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_knn_ivf(dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+                 k: int = 5) -> str:
+    """DuckDB replays the SAME seeded unit centroids as SQL literals:
+    per-cell dots via UNION ALL, ROW_NUMBER picks the corpus argmax cell
+    (rn=1) and each query's n_probe nearest cells, the cell join builds
+    candidates, and the exact cosine re-ranks — certifying assignment,
+    probing, and re-rank end to end."""
+    from webindex_spark.operators.simsearch import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells)
+
+    def dots(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id, v, {c} AS cell, "
+            f"list_dot_product(v, {_sql_arr(cents[c])}) AS d FROM {src}"
+            for c in range(n_cells)
+        )
+
+    cos = (
+        "list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"du AS ({dots('e')}), "
+        "cr AS (SELECT vec_id, v, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn FROM du), "
+        "ca AS (SELECT vec_id, v, cell FROM cr WHERE rn = 1), "
+        "q AS (SELECT * FROM e ORDER BY vec_id LIMIT 4), "
+        f"qdu AS ({dots('q')}), "
+        "qr AS (SELECT vec_id, v, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn FROM qdu), "
+        f"qp AS (SELECT vec_id AS q_id, v AS qv, cell FROM qr WHERE rn <= {n_probe}), "
+        "cand AS (SELECT qp.q_id, ca.vec_id, ca.v, qp.qv FROM ca JOIN qp "
+        "ON ca.cell = qp.cell AND ca.vec_id <> qp.q_id), "
+        f"scored AS (SELECT q_id, vec_id, {cos} AS c FROM cand), "
+        "ranked AS (SELECT q_id, vec_id, c, ROW_NUMBER() OVER (PARTITION BY q_id "
+        "ORDER BY c DESC, vec_id ASC) AS rank FROM scored) "
+        f"SELECT q_id, vec_id, ROUND(c, 6) AS cosine, CAST(rank AS BIGINT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+SQL_KNN_IVF = _sql_knn_ivf()
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets (the dedup-stack
     entry the training brief names).  threshold=0.4 is where this
@@ -1063,5 +1127,6 @@ QUERIES: dict = {
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
 }
