@@ -118,8 +118,8 @@ def test_cogroup_mode_two_tier(spark, monkeypatch):
     frontier, robots, pre_seen = _synth(spark, n=5_000, n_hosts=50)
     bp = seen_ops.bloom_params(5_000, 0.01, 4)
     n_parts, bits, k = bp
-    for n_salts in (1, 4):
-        pid = seen_ops.host_salt_pid("host", "uri", n_salts, n_parts)
+    for n_salts, n_sub in ((1, 1), (4, 1), (4, 3)):
+        pid = seen_ops.host_salt_pid("host", "uri", n_salts, n_parts, n_sub)
         bloom = seen_ops.bloom_insert(
             pre_seen, seen_ops.empty_bloom(spark, n_parts, bits),
             "uri", k, bits, n_parts, pid_expr=pid,
@@ -127,6 +127,7 @@ def test_cogroup_mode_two_tier(spark, monkeypatch):
         fused = sp.schedule_frontier(
             frontier, pre_seen, bloom, robots, 5, n_salts=n_salts,
             k=k, bits=bits, n_partitions=n_parts, num_partitions=8,
+            n_sub=n_sub,
         )
         # the unfused comparator probes the same shard layout
         unseen = seen_ops.filter_unseen(

@@ -94,25 +94,26 @@ def _probe_prerank_cogroup(
     k: int,
     bits: int,
     n_partitions: int,
+    n_sub: int = 1,
 ) -> DataFrame:
     """Fused Arrow kernel for the too-big-to-broadcast filter regime:
     per (host, salt)-derived shard, run the vectorized Bloom bit probe
     AND the phase-1 politeness pre-rank of the fresh rows in one pass.
 
     Output: candidate columns + ``__salt`` + ``maybe_seen``; fresh rows
-    are already cut to ≤ budget per (host, salt) (safe: a row in the
-    exact top-budget of its host ranks ≤ budget within its (host, salt)
-    group among ALL unseen rows, hence also among the fresh subset —
-    the same never-discards argument as politeness.schedule's phase 1);
-    maybe rows pass through un-ranked for the exact-tier anti-join.
+    are already cut to ≤ budget per shard-local (host, salt) slice
+    (safe: a row in the exact top-budget of its host ranks ≤ budget
+    within its (host, salt) slice among ALL unseen rows, hence also
+    among the fresh subset — the same never-discards argument as
+    politeness.schedule's phase 1); maybe rows pass through un-ranked
+    for the exact-tier anti-join.
 
-    Skew: a (host, salt) group lands whole in one shard by design — a
-    host with p% of all candidates puts p/n_salts % in one task.  That
-    replaces round 2's perfectly-spread uri-hash pid, and is the price
-    of eliminating the second candidate-sized exchange; n_salts is the
-    lever (the politeness phase-2 cost grows only with n_salts × budget
-    per host)."""
-    pid = seen_ops.host_salt_pid(host_col, uri_col, n_salts, n_partitions)
+    Skew: ``n_sub`` (host_salt_pid docstring) caps a hot host's largest
+    shard at p/(n_salts × n_sub)% of candidates at the cost of keeping
+    ≤ budget × n_sub fresh rows per (host, salt); the downstream
+    ranking windows restore exactness.  The bloom MUST be built with
+    the same (n_salts, n_sub, n_partitions) pid."""
+    pid = seen_ops.host_salt_pid(host_col, uri_col, n_salts, n_partitions, n_sub)
     cand = seen_ops._with_hashes(
         candidates.withColumn(SALT_COL, salt_col(uri_col, n_salts)),
         uri_col, n_partitions, pid_expr=pid,
@@ -124,8 +125,9 @@ def _probe_prerank_cogroup(
     )
 
     def kernel(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(cdf)
         if len(bdf) == 0:
-            maybe = np.zeros(len(cdf), dtype=bool)
+            maybe = np.zeros(n, dtype=bool)
         else:
             words = np.asarray(bdf["words"].iloc[0], dtype=np.int64).view(np.uint64)
             idx = seen_ops._indices(
@@ -133,17 +135,30 @@ def _probe_prerank_cogroup(
             )
             hit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
             maybe = hit.astype(bool).all(axis=1)
-        out = cdf[cols].copy()
-        out["maybe_seen"] = maybe
-        fresh = out[~maybe]
-        if len(fresh):
-            fresh = fresh.sort_values(
-                [host_col, SALT_COL, "priority", uri_col],
-                ascending=[True, True, False, True],
-            )
-            keep = fresh.groupby([host_col, SALT_COL], sort=False).cumcount() < budget
-            fresh = fresh[keep.values]
-        return pd.concat([fresh, out[maybe]])
+        # Fresh-row pre-cut as a pure-numpy THRESHOLD mask — no pandas
+        # string sort, no concat, no row reordering (the original
+        # sort_values over object-dtype uris dominated kernel CPU).
+        # Keep a fresh row iff its priority >= the budget-th largest
+        # priority of its (host, salt) group, ties INCLUSIVE — a safe
+        # superset of the exact top-budget (never discards a row the
+        # exact per-(host,salt) window would keep; that window re-ranks
+        # the survivors exactly downstream).
+        keep = maybe.copy()
+        fresh_idx = np.flatnonzero(~maybe)
+        if fresh_idx.size:
+            hcodes = pd.factorize(cdf[host_col].to_numpy())[0][fresh_idx]
+            codes = hcodes * np.int64(n_salts) + cdf[SALT_COL].to_numpy()[fresh_idx]
+            prio = cdf["priority"].to_numpy(dtype=np.float64)[fresh_idx]
+            order = np.lexsort((-prio, codes))
+            sc, sp = codes[order], prio[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            sizes = np.diff(np.r_[starts, sc.size])
+            thr = sp[starts + np.minimum(sizes, budget) - 1]
+            gid = np.cumsum(np.r_[False, sc[1:] != sc[:-1]])
+            ok = np.empty(sc.size, dtype=bool)
+            ok[order] = sp >= thr[gid]
+            keep[fresh_idx] = ok
+        return cdf.loc[keep, cols].assign(maybe_seen=maybe[keep])
 
     return (
         cand.groupBy("pid")
@@ -168,6 +183,7 @@ def schedule_frontier(
     host_col: str = "host",
     seen_prepartitioned: bool = False,
     keep_cols: list[str] | None = None,
+    n_sub: int = 1,
 ) -> DataFrame:
     """candidates -> unseen -> robots-allowed -> per-host budget/slots.
 
@@ -226,12 +242,19 @@ def schedule_frontier(
         out = _probe_prerank_cogroup(
             allowed, bloom, budget, uri_col=uri_col, host_col=host_col,
             n_salts=n_salts, k=k, bits=bits, n_partitions=n_partitions,
-        ).localCheckpoint(eager=False)
-        fresh = out.where(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = out.where(F.col("maybe_seen")).drop("maybe_seen")
-        if seen is None:
-            confirmed = maybe
-        else:
+            n_sub=n_sub,
+        )
+        # ONE consumer, no checkpoint: every kernel output row flows into
+        # the same anti-join.  Bloom has no false negatives, so a
+        # definitely-fresh row (maybe_seen = false) can never match the
+        # seen table — the anti-join is an exact no-op for it — while the
+        # maybe slice is filtered exactly.  The earlier fresh/maybe
+        # branch pair made the kernel feed two stages, which recomputed
+        # the whole Python kernel per stage under a lazy checkpoint
+        # (measured N->4N collapse to ~0.5 with 4N passes swinging 2x)
+        # and cost ~1 GB of block storage per pass under an eager one.
+        unseen = out.drop("maybe_seen")
+        if seen is not None:
             if seen_prepartitioned and SALT_COL in seen.columns:
                 s = seen.select(uri_col, host_col, SALT_COL)
             elif seen_prepartitioned:
@@ -243,8 +266,7 @@ def schedule_frontier(
                     seen.select(uri_col, host_col), uri_col, host_col,
                     n_salts, num_partitions,
                 )
-            confirmed = maybe.join(s, [uri_col, host_col, SALT_COL], "left_anti")
-        unseen = fresh.unionByName(confirmed)
+            unseen = unseen.join(s, [uri_col, host_col, SALT_COL], "left_anti")
     else:
         # broadcast-filter regime: the exact anti-join is exchange-free on
         # the shared (host, salt) partitioning, so a bloom pre-probe would

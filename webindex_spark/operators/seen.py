@@ -75,21 +75,30 @@ def salt_col(uri_col: str = "uri", n_salts: int = 8) -> F.Column:
 
 
 def host_salt_pid(
-    host_col: str, uri_col: str, n_salts: int, n_partitions: int
+    host_col: str, uri_col: str, n_salts: int, n_partitions: int,
+    n_sub: int = 1,
 ) -> F.Column:
     """Filter-shard pid derived from the SAME (host, salt) key the seen
     table is bucketed by at rest and the politeness phase-1 window
     partitions by.  With this pid the 10^10-regime probe's shuffle IS the
-    scheduling exchange: every (host, salt) group lands whole in one
-    shard, so the cogroup kernel can pre-rank it for politeness and no
-    second candidate-sized exchange exists (the round-2 plan paid two —
-    uri-hash pid probe + (host, salt) window — and measured 0.706
-    scaling).  Skew bound: a host holding p% of candidates puts p/n_salts
-    % in its largest shard — choose n_salts accordingly."""
-    return F.pmod(
-        F.xxhash64(F.lit("pid"), F.col(host_col), salt_col(uri_col, n_salts)),
-        F.lit(n_partitions),
-    ).cast("int")
+    scheduling exchange: the cogroup kernel can pre-cut each shard's
+    (host, salt) slice for politeness and no second candidate-sized
+    exchange exists (the round-2 plan paid two — uri-hash pid probe +
+    (host, salt) window — and measured 0.706 scaling).
+
+    ``n_sub`` splits each (host, salt) group across n_sub shards (a
+    uri-hash sub-key inside the pid): a host holding p% of candidates
+    caps its largest shard at p/(n_salts×n_sub)% — the straggler lever
+    for hot hosts (measured: whole 10%-hot-host groups made the 4N level
+    wait on ~2.6x tasks).  The kernel's per-shard budget cut then keeps
+    ≤ budget × n_sub rows per (host, salt) — still a superset of the
+    exact top-budget (any row in the true per-(host,salt) top-budget
+    ranks ≤ budget inside its own sub-slice too), and the downstream
+    ranking window restores exactness."""
+    key = [F.lit("pid"), F.col(host_col), salt_col(uri_col, n_salts)]
+    if n_sub > 1:
+        key.append(F.pmod(F.xxhash64(F.lit("sub"), F.col(uri_col)), F.lit(n_sub)))
+    return F.pmod(F.xxhash64(*key), F.lit(n_partitions)).cast("int")
 
 
 def _with_hashes(
@@ -243,9 +252,11 @@ def filter_unseen(
         candidates, bloom, uri_col, k, bits, n_partitions, pid_expr
     )
     if n_partitions * (bits // 8) > BROADCAST_BLOOM_MAX_BYTES:
-        # cogroup mode runs Python: materialize so the two union branches
-        # below don't execute the probe twice
-        probed = probed.localCheckpoint(eager=False)
+        # cogroup mode runs Python: EAGER-materialize so the two union
+        # branches below don't each recompute the probe kernel (a lazy
+        # checkpoint only saves blocks after the first job — within that
+        # job both branch stages run the kernel)
+        probed = probed.localCheckpoint(eager=True)
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select(uri_col), uri_col, "left_anti")

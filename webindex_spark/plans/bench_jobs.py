@@ -73,7 +73,12 @@ def frontier_throughput_job(
     correct buckets at write time), not a per-epoch read cost."""
     from webindex_spark.operators import sched_pipeline
 
-    n_parts, bits, k = seen_ops.bloom_params(n_urls, 0.01, 64)
+    # 1024 shards (the docs/SCALE.md 10^10 layout): with few shards the
+    # cogroup exchange hashes pids into shuffle partitions so unevenly
+    # that multi-pid tasks straggle the 4N level (64 pids -> 48 bins:
+    # max bin ~4 pids = a 3x task); at 1024 pids/48 bins the max bin is
+    # ~1.6x mean and wave packing absorbs it
+    n_parts, bits, k = seen_ops.bloom_params(n_urls, 0.01, 1024)
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     frontier = synth_frontier(spark, n_urls, n_hosts)
     robots = synth_robots(spark, n_hosts)
@@ -84,10 +89,17 @@ def frontier_throughput_job(
     # keeping the phase-2 exchange at <= 4*budget rows per host (the salt
     # count must match the seen table's at-rest layout — same join key)
     n_salts = 4
-    # filter shards keyed by (host, salt) — the fused cogroup plan's
+    # filter shards keyed by (host, salt, sub) — the fused cogroup plan's
     # requirement (shard pid == window key == seen bucket key); harmless
-    # for the broadcast regime, whose probe never shuffles anyway
-    pid = seen_ops.host_salt_pid("host", "uri", n_salts, n_parts)
+    # for the broadcast regime, whose probe never shuffles anyway.
+    # n_sub=1: sub-splitting the hot host (n_sub=4) was measured NET
+    # NEGATIVE here — it caps the largest shard at 10/(4*4)=0.6% of
+    # candidates but keeps budget*n_sub pre-cut survivors per (host,
+    # salt), and the survivors' anti-join exchange grew 14M -> 26M rows,
+    # slowing BOTH levels more than the straggler cost (N 126->148 s,
+    # 4N 46->50 s); the lever stays for hot-host-heavier distributions
+    n_sub = 1
+    pid = seen_ops.host_salt_pid("host", "uri", n_salts, n_parts, n_sub)
     bloom = seen_ops.bloom_insert(
         pre_seen, seen_ops.empty_bloom(spark, n_parts, bits),
         "uri", k, bits, n_parts, pid_expr=pid,
@@ -110,6 +122,7 @@ def frontier_throughput_job(
             frontier, seen_at_rest, bloom, robots, budget, n_salts=n_salts,
             k=k, bits=bits, n_partitions=n_parts,
             num_partitions=shuffle_n, seen_prepartitioned=True, keep_cols=[],
+            n_sub=n_sub,
         )
         n_scheduled = sched.count()
         dt = time.time() - t0
