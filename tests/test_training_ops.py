@@ -178,3 +178,26 @@ def test_ivf_topk_recall_and_cell_assignment(spark, vectors):
     cent = simsearch.ivf_centroids(16, 8)
     want_cells = np.argmax(base.astype(np.float64) @ cent.T, axis=1)
     assert got_cells == {i: int(want_cells[i]) for i in range(len(base))}
+
+
+def test_bpe_token_stats_matches_python_re(spark):
+    """The BPE-ish regex counter equals python re.findall on the same
+    pattern (Java regex ≡ python re for this alternation), including
+    contractions, digit chunking, punct runs, and whitespace runs."""
+    import re
+
+    pat = re.compile(textstats.BPE_REGEX)
+    rows = [
+        (0, "Hello world, it's 12345 tokens-ish!  \n tab\there"),
+        (1, "plain"),
+        (2, "a1b2c3 ... 9999999 don't CamelCase2024"),
+        (3, "   leading and trailing   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+        for r in textstats.bpe_token_stats(df).collect()
+    }
+    for i, t in rows:
+        assert got[i][0] == len(pat.findall(t)), (i, pat.findall(t))
+        assert got[i][1] == len(t.strip().split()) or not t.strip()

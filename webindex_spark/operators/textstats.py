@@ -112,6 +112,33 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# BPE-style pre-tokenizer regex (the GPT-2 pattern's engine-portable
+# core): contraction suffix | space?+letters | space?+digit-chunk(<=3,
+# GPT-4-style number splitting) | space?+punct-run | whitespace-run.
+# Alternation is ORDERED in both Java regex (Spark) and RE2's default
+# mode (DuckDB), and the explicit [ \t\n\r] class avoids the \s
+# divergence (Java includes \x0B, RE2 does not).  Counting matches of
+# this pattern approximates a BPE token count without a vocab.
+BPE_REGEX = r"'[A-Za-z]{1,2}| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 \t\n\r']+|[ \t\n\r]+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-free BPE-ish token count per document (training-data
+    sizing: the whitespace count in :func:`token_stats` underestimates
+    sub-word inflation; this regex tracks a byte-pair pre-tokenizer).
+    Pure built-in `regexp_extract_all` — JVM codegen, no UDF."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        (F.size(pieces) / F.size(ws)).alias("bpe_per_word"),
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Composite quality heuristics + a single [0,1] score."""
     text = F.col(text_col)

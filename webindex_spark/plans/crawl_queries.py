@@ -474,6 +474,33 @@ SQL_TOKEN_STATS = (
 )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counts (textstats.bpe_token_stats): the
+    regex pre-tokenizer count a training-data sizing pass needs alongside
+    the whitespace count.  Pure regexp_extract_all, JVM-side."""
+    from webindex_spark.operators import textstats
+
+    out = textstats.bpe_token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_bpe_tokens", "n_ws_tokens",
+        F.round("bpe_per_word", 6).alias("bpe_per_word"),
+    )
+
+
+SQL_BPE_TOKENS = (
+    # the same ordered-alternation pattern (textstats.BPE_REGEX); RE2 and
+    # Java regex agree on it by construction (explicit whitespace class,
+    # no \s, ordered alternation in both engines)
+    "WITH c AS (SELECT doc_id, "
+    "len(regexp_extract_all(text, '''[A-Za-z]{1,2}| ?[A-Za-z]+| ?[0-9]{1,3}"
+    "| ?[^A-Za-z0-9 \\t\\n\\r'']+|[ \\t\\n\\r]+')) AS nb, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS nw FROM documents) "
+    "SELECT doc_id, CAST(nb AS BIGINT) AS n_bpe_tokens, "
+    "CAST(nw AS BIGINT) AS n_ws_tokens, "
+    "ROUND(CAST(nb AS DOUBLE) / nw, 6) AS bpe_per_word FROM c"
+)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality heuristics: alpha ratio, digit ratio, mean word length —
     the deterministic core of a quality-filter stage."""
@@ -1112,6 +1139,7 @@ QUERIES: dict = {
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
