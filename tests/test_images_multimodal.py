@@ -103,3 +103,29 @@ def test_sample_frames_rawv(spark):
         assert np.array_equal(got, frames[r["frame_idx"]])
     with pytest.raises(NotImplementedError):
         img_ops.decode_frame(b"", 1, 1, 1, "mp4", 0)
+
+
+def test_phash_near_dups_finds_planted_pair(spark):
+    """Retrieval off the stored phash column: a hash 3 bits from image
+    0's (a re-encode-level perturbation) is found with its exact
+    distance; the 40 unrelated synth-image hashes produce no pairs.
+    (The perturbation is planted at the hash level deliberately — the
+    synth images are near-uniform noise, for which an average-hash is
+    legitimately unstable to global-brightness edits; the operator's
+    contract is over the hashes.)"""
+    ids = [f"com.img>>o>/d/{i}.png" for i in range(40)]
+    rows = [
+        (iid, int(img_ops.average_phash(synth.image_pixels(iid, 32, 24))))
+        for iid in ids
+    ]
+    base_hash = rows[0][1]
+    near_hash = base_hash ^ (1 << 5) ^ (1 << 20) ^ (1 << 41)
+    rows.append(("com.img>>o>/d/0-tweaked.png", near_hash))
+    df = spark.createDataFrame(rows, ["image_id", "phash"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in img_ops.phash_near_dups(df, max_hamming=6).collect()
+    }
+    key = tuple(sorted([ids[0], "com.img>>o>/d/0-tweaked.png"]))
+    assert pairs.get(key) == 3
+    assert all(k == key for k in pairs), pairs  # no random-pair noise

@@ -427,3 +427,28 @@ def sample_frames(videos: DataFrame, every: int = 10,
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def phash_near_dups(
+    images: DataFrame, max_hamming: int = 6, blocks: int = 8,
+    id_col: str = "image_id", phash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    the multimodal entry of the dedup stack (columns id_a, id_b,
+    hamming).
+
+    Runs straight off the stored ``phash`` column (no decode pass) and
+    delegates to the simhash block-trick join
+    (dedup.simhash_near_pairs): any pair within ``max_hamming < blocks``
+    shares at least one exact 64/blocks-bit block, so candidates come
+    from per-block bucket joins and the exact bit_count verify runs on
+    candidates only — never an all-pairs stage, the same 100 TB posture
+    as the text dedup lane."""
+    import pyspark.sql.functions as F
+
+    from webindex_spark.operators import dedup
+
+    sig = images.select(
+        F.col(id_col).alias("id"), F.col(phash_col).alias("simhash")
+    )
+    return dedup.simhash_near_pairs(sig, max_hamming=max_hamming, blocks=blocks)
