@@ -280,7 +280,7 @@ def filter_unseen(candidates: DataFrame, seen: DataFrame, table: DataFrame | Non
         return candidates.join(seen.select(uri_col), uri_col, "left_anti")
     probed = cuckoo_probe(candidates, table, uri_col, m, n_partitions)
     if n_partitions * m * 8 > BROADCAST_BLOOM_MAX_BYTES:
-        probed = probed.localCheckpoint(eager=False)
+        probed = probed.localCheckpoint(eager=True)
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select(uri_col), uri_col, "left_anti")

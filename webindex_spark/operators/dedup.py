@@ -105,7 +105,7 @@ def lsh_candidates(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # two consumers below (hot-bucket census + the guard join): materialize
     # once instead of re-running the k-min signature aggregation
-    exploded = exploded.localCheckpoint(eager=False)
+    exploded = exploded.localCheckpoint(eager=True)
     # spam-cluster guard: drop oversized buckets (boilerplate shingles).
     # Oversized buckets are by definition FEW (count > max_bucket), so the
     # guard is a broadcast anti-join against their key list — a hash agg
@@ -281,7 +281,7 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) ->
     ).select("id", "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
     # both self-join sides read the chunk table: materialize it once
     # instead of running the upstream signature aggregation twice
-    chunks = chunks.localCheckpoint(eager=False)
+    chunks = chunks.localCheckpoint(eager=True)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

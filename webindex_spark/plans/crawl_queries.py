@@ -655,7 +655,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (sizes + both self-join sides): materialize the
         # ~16-byte-per-row gram set once instead of re-running the
         # tokenize/hash/window pipeline per consumer
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
