@@ -142,7 +142,12 @@ def _probe_prerank_cogroup(
         # priority of its (host, salt) group, ties INCLUSIVE — a safe
         # superset of the exact top-budget (never discards a row the
         # exact per-(host,salt) window would keep; that window re-ranks
-        # the survivors exactly downstream).
+        # the survivors exactly downstream).  Degenerate-case note: with
+        # near-constant priorities the tie set IS the group, so the cut
+        # degrades gracefully to a pass-through — still correct, but the
+        # downstream window input grows toward candidate-sized; crawls
+        # with flat priorities should widen them (e.g. + a uri-hash
+        # epsilon) before scheduling.
         keep = maybe.copy()
         fresh_idx = np.flatnonzero(~maybe)
         if fresh_idx.size:
