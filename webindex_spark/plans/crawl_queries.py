@@ -249,6 +249,77 @@ SQL_SCHEDULE = (
 )
 
 
+def q_sched_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED 10^10-regime scheduling plan end-to-end through the
+    production operator (sched_pipeline.schedule_frontier with the
+    cogroup probe+pre-cut Arrow kernel forced): robots broadcast gate →
+    ONE (host,salt)-pid candidate exchange → in-kernel bloom probe +
+    politeness pre-cut → exact anti-join → two-phase ranking.  The
+    oracle is the naive gate+anti-join+single-window SQL — identical
+    output because the kernel pre-cut and phase 1 never discard a row
+    the exact ranking keeps (sched_pipeline.py docstrings); this row
+    value-hash-certifies the scaling benchmark's flagship plan, not just
+    its pytest equivalence."""
+    from webindex_spark.operators import sched_pipeline
+    from webindex_spark.operators import seen as seen_ops
+
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.concat(F.lit("/e/"), F.col("event_id").cast("string")).alias("path"),
+        F.col("value").alias("priority"),
+    )
+    robots = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.when(F.col("id") % 5 == 2, F.array(F.lit("/e/1")))
+        .otherwise(F.array().cast("array<string>")).alias("disallow"),
+        (1.0 + (F.col("id") % 3).cast("double")).alias("crawl_delay"),
+    )
+    seen = ev.where(F.col("event_id") % 4 == 0).select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+    )
+    n_parts, bits, k = seen_ops.bloom_params(2_000, 0.01, 8)
+    pid = seen_ops.host_salt_pid("host", "uri", 4, n_parts)
+    bloom = seen_ops.bloom_insert(
+        seen, seen_ops.empty_bloom(spark, n_parts, bits),
+        "uri", k, bits, n_parts, pid_expr=pid,
+    )
+    # force the cogroup branch (the build-time mode decision models a
+    # filter past the broadcast cap); restore the cap after construction
+    old = seen_ops.BROADCAST_BLOOM_MAX_BYTES
+    seen_ops.BROADCAST_BLOOM_MAX_BYTES = 0
+    try:
+        out = sched_pipeline.schedule_frontier(
+            cand, seen, bloom, robots, budget=7, n_salts=4,
+            k=k, bits=bits, n_partitions=n_parts, num_partitions=16,
+        )
+    finally:
+        seen_ops.BROADCAST_BLOOM_MAX_BYTES = old
+    return out.select(
+        "host", "uri",
+        F.col("slot").cast("long").alias("slot"),
+        F.col("tick").cast("double").alias("tick"),
+    )
+
+
+SQL_SCHED_COGROUP = (
+    "WITH cand AS (SELECT 'e' || CAST(event_id AS VARCHAR) AS uri, "
+    "'h' || CAST(user_id % 20 AS VARCHAR) AS host, "
+    "'/e/' || CAST(event_id AS VARCHAR) AS path, value AS priority, "
+    "CAST(user_id % 20 AS INT) AS hk, event_id FROM events), "
+    "gated AS (SELECT uri, host, priority, event_id, "
+    "CAST(1.0 + hk % 3 AS DOUBLE) AS crawl_delay FROM cand "
+    "WHERE NOT (hk % 5 = 2 AND starts_with(path, '/e/1'))), "
+    "unseen AS (SELECT * FROM gated WHERE event_id % 4 != 0), "
+    "r AS (SELECT host, uri, crawl_delay, ROW_NUMBER() OVER ("
+    "PARTITION BY host ORDER BY priority DESC, uri ASC) AS rn FROM unseen) "
+    "SELECT host, uri, CAST(rn - 1 AS BIGINT) AS slot, "
+    "CAST((rn - 1) * crawl_delay AS DOUBLE) AS tick FROM r WHERE rn <= 7"
+)
+
+
 def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 incremental combine as a batch merge: a 'state' snapshot (orders
     before the median date) FULL OUTER JOIN a 'delta' batch (the rest),
@@ -1132,6 +1203,7 @@ QUERIES: dict = {
     "domain_rank": (q_domain_rank, SQL_DOMAIN_RANK),
     "frontier_unseen": (q_frontier_unseen, SQL_FRONTIER_UNSEEN),
     "schedule": (q_schedule, SQL_SCHEDULE),
+    "sched_cogroup": (q_sched_cogroup, SQL_SCHED_COGROUP),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
