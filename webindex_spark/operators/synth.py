@@ -211,3 +211,52 @@ def gen_seeds_pandas(
                     {"url": f"http://bad host {n}/", "priority": 1.0, "discovered_epoch": 0}
                 )
     return pd.DataFrame(rows)
+
+
+# ----------------------------------------------------------------- audio
+
+
+def audio_wave(audio_id: str, n_samples: int = 4096, sr: int = 8000) -> np.ndarray:
+    """Deterministic clip: a 3-sine mixture + low noise, params seeded
+    from the id (same scheme as image_pixels)."""
+    rng = np.random.Generator(np.random.PCG64(SEED ^ _mix("wav", audio_id)))
+    t = np.arange(n_samples) / sr
+    wave = np.zeros(n_samples)
+    for _ in range(3):
+        freq = rng.uniform(80.0, sr / 2.5)
+        wave += rng.uniform(0.1, 0.3) * np.sin(2 * np.pi * freq * t + rng.uniform(0, 2 * np.pi))
+    wave += rng.normal(0, 0.01, n_samples)
+    return np.clip(wave, -0.999, 0.999)
+
+
+def audio_caption(audio_id: str) -> str:
+    words = ["chime", "drone", "hum", "pulse", "ring", "swell", "tone", "whirr"]
+    r = _mix("acap", audio_id)
+    picks = [words[(r >> (4 * i)) % len(words)] for i in range(3)]
+    return f"{' '.join(picks)} — {audio_id}"
+
+
+def gen_audio_pandas(
+    audio_ids: list[str], n_samples: int = 4096, sr: int = 8000
+) -> pd.DataFrame:
+    """The audio input table: (audio_id, bytes, sample_rate, n_samples,
+    fmt, caption); rawa = real PCM16 payloads."""
+    from webindex_spark.operators import audio as audio_ops
+
+    rows = []
+    for aid in sorted(set(audio_ids)):
+        wave = audio_wave(aid, n_samples, sr)
+        rows.append(
+            {
+                "audio_id": aid,
+                "bytes": audio_ops.encode(wave, "rawa"),
+                "sample_rate": np.int32(sr),
+                "n_samples": np.int32(n_samples),
+                "fmt": "rawa",
+                "caption": audio_caption(aid),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["sample_rate"] = df["sample_rate"].astype("int32")
+    df["n_samples"] = df["n_samples"].astype("int32")
+    return df
