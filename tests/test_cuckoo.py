@@ -142,3 +142,25 @@ def test_crawl_with_cuckoo_filter_matches_bloom(spark, tmp_path):
             {r["uri"] for r in cat.table("seen").read(spark).collect()},
         )
     assert outs["bloom"] == outs["cuckoo"]
+
+
+def test_reinsert_consumes_capacity(spark):
+    """The multiset contract's failure mode: re-inserting the SAME uris
+    across batches stores one duplicate fingerprint per pass (that is
+    what makes deletion collision-safe), so an insert/delete-unbalanced
+    caller must eventually hit the over-capacity error — loudly, never a
+    silent drop (cuckoo_insert docstring)."""
+    n_parts, m = cuckoo.cuckoo_params(600, 2)
+    uris = _uris(spark, 0, 500)
+    table = cuckoo.empty_cuckoo(spark, n_parts, m)
+    with pytest.raises(Exception, match="over capacity"):
+        for _ in range(12):  # 4 slots/bucket -> duplicates exhaust space
+            table = cuckoo.cuckoo_insert(uris, table, "uri", m, n_parts)
+            table = table.localCheckpoint()
+    # balanced usage at the same pressure is fine: insert -> delete loop
+    table = cuckoo.empty_cuckoo(spark, n_parts, m)
+    for _ in range(12):
+        table = cuckoo.cuckoo_insert(uris, table, "uri", m, n_parts)
+        table = cuckoo.cuckoo_delete(uris, table, "uri", m, n_parts)
+        table = table.localCheckpoint()
+    assert table.count() == n_parts

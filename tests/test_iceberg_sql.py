@@ -48,5 +48,10 @@ def test_modes_match_what_run_epoch_commits(spark, tmp_path):
     fr.run_crawl(spark, cat, corpus, images, robots, seeds, 2, cfg)
     for t in fr.TABLES:
         mode = cat.table(t).manifest().get("mode")
-        want = "append" if t in iceberg_sql.APPEND_TABLES else "full"
+        want = iceberg_sql.LOCAL_COMMIT_MODES[t]
         assert mode == want, (t, mode, want)
+        if want == "merge":
+            # a merge commit must carry its key columns + delta segments
+            man = cat.table(t).manifest()
+            assert man.get("merge_keys"), t
+            assert man.get("merge_segments"), t

@@ -85,3 +85,11 @@ def test_unknown_route_404_and_missing_param_400(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(served, "/pages")
     assert e.value.code == 400
+    # non-integer offset and invalid url are 400s too — not dropped
+    # connections, not 200-with-error-body (ADVICE round 3)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(served, "/links?uri=x&offset=abc")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(served, "/page?url=" + urllib.parse.quote("not a url"))
+    assert e.value.code == 400

@@ -180,21 +180,30 @@ def main():
         "frontier_urls_per_sec": {str(lo): a["frontier"]["urls_per_sec"],
                                    str(hi): b["frontier"]["urls_per_sec"]},
         "frontier_secs": {str(lo): a["frontier"]["secs"], str(hi): b["frontier"]["secs"]},
-        "image_rows_per_sec": {str(lo): a["images"]["rows_per_sec"],
-                                str(hi): b["images"]["rows_per_sec"]},
-        "image_secs": {str(lo): a["images"]["secs"], str(hi): b["images"]["secs"]},
         "efficiency_frontier": round(statistics.median(f_effs), 3),
-        "efficiency_images": round(statistics.median(i_effs), 3),
         "efficiency_frontier_best_window": round(eff(a, b, "frontier", "urls_per_sec"), 3),
         "all_pairs": [
             {"frontier": round(eff(x, y, "frontier", "urls_per_sec"), 3),
-             "images": round(eff(x, y, "images", "rows_per_sec"), 3),
-             "frontier_secs": [x["frontier"]["secs"], y["frontier"]["secs"]],
-             "image_secs": [x["images"]["secs"], y["images"]["secs"]]}
+             "frontier_secs": [x["frontier"]["secs"], y["frontier"]["secs"]]}
             for x, y in pairs
         ],
         "n_urls": n_urls, "n_images": n_images,
     }
+    # image keys only when the image lane actually ran: in --cogroup mode
+    # n_images == 0 and the runner's placeholder would otherwise surface
+    # as a fabricated-looking efficiency_images number (ADVICE round 3)
+    if n_images:
+        summary["image_rows_per_sec"] = {
+            str(lo): a["images"]["rows_per_sec"],
+            str(hi): b["images"]["rows_per_sec"],
+        }
+        summary["image_secs"] = {
+            str(lo): a["images"]["secs"], str(hi): b["images"]["secs"]
+        }
+        summary["efficiency_images"] = round(statistics.median(i_effs), 3)
+        for p, (x, y) in zip(summary["all_pairs"], pairs):
+            p["images"] = round(eff(x, y, "images", "rows_per_sec"), 3)
+            p["image_secs"] = [x["images"]["secs"], y["images"]["secs"]]
     print(json.dumps(summary))
 
 

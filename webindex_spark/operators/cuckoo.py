@@ -81,15 +81,25 @@ def empty_cuckoo(spark: SparkSession, n_partitions: int, m: int) -> DataFrame:
     )
 
 
-def _with_hashes(df: DataFrame, uri_col: str, m: int, n_partitions: int) -> DataFrame:
+def _with_hashes(
+    df: DataFrame, uri_col: str, m: int, n_partitions: int,
+    pid_expr: F.Column | None = None,
+) -> DataFrame:
+    """``pid_expr`` overrides the shard id (default: uri hash) — the
+    fused scheduling pipeline passes seen.host_salt_pid so the cuckoo
+    shards live on the SAME (host, salt) buckets as the seen table and
+    politeness windows (identical discipline to seen._with_hashes)."""
     c = F.col(uri_col)
     fp = F.pmod(F.xxhash64(F.lit("cfp"), c), F.lit(_FP_MASK)) + 1  # 1..65535
     g = F.pmod(fp * F.lit(_G_MULT), F.lit(_H31)).bitwiseAND(F.lit(m - 1))
     i1 = F.pmod(F.xxhash64(F.lit("ci"), c), F.lit(m))
+    pid = (
+        pid_expr
+        if pid_expr is not None
+        else F.pmod(F.xxhash64(F.lit("cpid"), c), F.lit(n_partitions)).cast("int")
+    )
     return (
-        df.withColumn(
-            "pid", F.pmod(F.xxhash64(F.lit("cpid"), c), F.lit(n_partitions)).cast("int")
-        )
+        df.withColumn("pid", pid)
         .withColumn("fp", fp)
         .withColumn("i1", i1)
         .withColumn("i2", i1.bitwiseXOR(g))
@@ -175,8 +185,11 @@ def _kernel_upsert(buckets: np.ndarray, fps: np.ndarray, i1s: np.ndarray,
 
 
 def _cogroup_apply(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
-                   n_partitions: int, delete: bool) -> DataFrame:
-    cand = _with_hashes(uris.select(uri_col), uri_col, m, n_partitions)
+                   n_partitions: int, delete: bool,
+                   pid_expr: F.Column | None = None) -> DataFrame:
+    cand = _with_hashes(uris, uri_col, m, n_partitions, pid_expr).select(
+        "pid", "fp", "i1", "i2", uri_col
+    )
 
     def upsert(key, cdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -204,16 +217,32 @@ def _cogroup_apply(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
 
 
 def cuckoo_insert(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
-                  n_partitions: int) -> DataFrame:
-    """Updated filter table (all n_partitions rows present)."""
-    return _cogroup_apply(uris, table, uri_col, m, n_partitions, delete=False)
+                  n_partitions: int, pid_expr: F.Column | None = None) -> DataFrame:
+    """Updated filter table (all n_partitions rows present).
+
+    MULTISET CONTRACT (Fan et al. §3.2): duplicate fingerprints are
+    stored, one copy per insert — that is what makes ``cuckoo_delete``
+    collision-safe (deleting one of two same-fp items leaves the other
+    findable).  The flip side: insertion is NOT idempotent across
+    batches.  Re-inserting an already-present uri set consumes one slot
+    per re-insert and an unbalanced caller eventually raises the
+    over-capacity RuntimeError below (asserted in
+    tests/test_cuckoo.py::test_reinsert_consumes_capacity).  Callers
+    must keep inserts and deletes balanced per item — the crawl
+    satisfies this structurally (each uri enters the seen set exactly
+    once; duplicates WITHIN a batch collapse in ``_cogroup_apply``)."""
+    return _cogroup_apply(
+        uris, table, uri_col, m, n_partitions, delete=False, pid_expr=pid_expr
+    )
 
 
 def cuckoo_delete(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
-                  n_partitions: int) -> DataFrame:
+                  n_partitions: int, pid_expr: F.Column | None = None) -> DataFrame:
     """Remove the uris' fingerprints (exact for previously-inserted items
     — the capability the Bloom tier cannot offer)."""
-    return _cogroup_apply(uris, table, uri_col, m, n_partitions, delete=True)
+    return _cogroup_apply(
+        uris, table, uri_col, m, n_partitions, delete=True, pid_expr=pid_expr
+    )
 
 
 def cuckoo_probe(candidates: DataFrame, table: DataFrame, uri_col: str,

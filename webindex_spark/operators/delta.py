@@ -213,31 +213,40 @@ def _uri_rows(df: DataFrame, links_col: str, docs_col: str) -> DataFrame:
     return t.unionByName(d).unionByName(p)
 
 
-def update_index_rows(
-    index_rows: DataFrame,
+def index_row_mutations(
     changes: DataFrame,
-    domain_counts_old: DataFrame,
-    domain_counts_next: DataFrame,
+    domain_changes: DataFrame,
     page_mutations: DataFrame,
-) -> DataFrame:
-    """T5: delete-old-write-new against the materialized query table
+):
+    """T5 mutation generator: returns ``(inserts, delete_keys)`` — the
+    delta-sized row sets an Iceberg ``MERGE INTO index_rows`` consumes
     (AccumuloTranslator.generateMutations semantics: old rows removed,
-    new rows inserted, last-writer-wins per (row, cf, cq))."""
+    new rows inserted, last-writer-wins per (row, cf, cq)).
+
+    Every input is delta-sized: ``changes`` = touched uris,
+    ``domain_changes`` = touched domains (rev_domain, old_pagecount,
+    new_pagecount — from ``merge_domain_counts(..., with_changes=True)``),
+    ``page_mutations`` = this batch's pages.  Deriving the domain rows
+    from the TOUCHED slice instead of the full old/next tables keeps the
+    mutation volume O(delta) — untouched domains previously produced
+    identical delete+reinsert no-op pairs, an O(all-domains) cost per
+    tick the reference never pays (IndexClient.genDomainMutations runs
+    per exported DomainUpdate only)."""
     # uri-derived rows
     old_uri_rows = _uri_rows(changes, "old_links", "old_docs")
     new_uri_rows = _uri_rows(changes, "new_links", "new_docs")
 
-    # domain pagecount rows: changed domains = symmetric difference of values
-    old_dom = domain_counts_old.select(
-        F.concat(F.lit("d:"), F.col("rev_domain")).alias("row"),
-        F.lit("domain").alias("cf"), F.lit("pagecount").alias("cq"),
-        F.col("pagecount").cast("string").alias("v"),
-    )
-    new_dom = domain_counts_next.select(
-        F.concat(F.lit("d:"), F.col("rev_domain")).alias("row"),
-        F.lit("domain").alias("cf"), F.lit("pagecount").alias("cq"),
-        F.col("pagecount").cast("string").alias("v"),
-    )
+    # domain pagecount rows for TOUCHED domains only (0-valued sides
+    # produce no row, genDomainData parity)
+    def _dom_rows(col: str) -> DataFrame:
+        return domain_changes.where(F.col(col) != 0).select(
+            F.concat(F.lit("d:"), F.col("rev_domain")).alias("row"),
+            F.lit("domain").alias("cf"), F.lit("pagecount").alias("cq"),
+            F.col(col).cast("string").alias("v"),
+        )
+
+    old_dom = _dom_rows("old_pagecount")
+    new_dom = _dom_rows("new_pagecount")
 
     # page rows (genPageMutations): page:cur put/delete + inlinks add/delete
     puts = page_mutations.where(F.col("op") != "delete")
@@ -277,6 +286,20 @@ def update_index_rows(
         .unionByName(inserts.select("row", "cf", "cq"))  # last-writer-wins
         .distinct()
     )
+    return inserts, delete_keys
+
+
+def update_index_rows(
+    index_rows: DataFrame,
+    changes: DataFrame,
+    domain_changes: DataFrame,
+    page_mutations: DataFrame,
+) -> DataFrame:
+    """T5 applied as a full next-state table (the standalone/batch seam);
+    the snapshot layer's ``mode="merge"`` commit consumes
+    ``index_row_mutations`` directly instead and never materializes
+    this anti-join over the whole table."""
+    inserts, delete_keys = index_row_mutations(changes, domain_changes, page_mutations)
     return index_rows.join(delete_keys, ["row", "cf", "cq"], "left_anti").unionByName(inserts)
 
 
@@ -286,8 +309,10 @@ def apply_page_deltas(pages_state, uri_counts, domain_counts, index_rows, deltas
     pages_next, uri_deltas, page_mutations = diff_pages(pages_state, deltas)
     uri_counts_next, changes = merge_uri_counts(uri_counts, uri_deltas)
     changes = changes.cache()
-    domain_counts_next = merge_domain_counts(domain_counts, changes)
+    domain_counts_next, domain_changes = merge_domain_counts(
+        domain_counts, changes, with_changes=True
+    )
     index_rows_next = update_index_rows(
-        index_rows, changes, domain_counts, domain_counts_next, page_mutations
+        index_rows, changes, domain_changes, page_mutations
     )
     return pages_next, uri_counts_next, domain_counts_next, index_rows_next

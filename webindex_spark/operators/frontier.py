@@ -132,6 +132,11 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     bloom_partitions: int = 16
     metric_partitions: int = 16    # per-partition metric granularity
+    # fold each mutating table's merge-on-read segment chain back to one
+    # segment every N epochs (0 = never).  Keeps per-epoch commits
+    # O(delta) while bounding read amplification at O(state/N) amortized
+    # per epoch — the LSM/Iceberg rewrite_data_files tradeoff.
+    compact_every: int = 0
     bloom: tuple = field(init=False)
 
     def __post_init__(self):
@@ -209,53 +214,84 @@ def _read_epoch(spark, cat: Catalog, name: str, epoch: int) -> DataFrame:
     return t.read(spark, _epoch_snapshot(t, epoch))
 
 
-def _epoch_metrics(
-    deltas: DataFrame, changes: DataFrame, domain_changes: DataFrame
-) -> tuple[int, int, int, int]:
-    """(n_pages, n_links, uris_changed, domains_new) in ONE Spark job:
-    three one-row aggregates unioned and collected together.  Every input
-    is delta-sized (deltas = this epoch's fetched pages; changes = touched
-    uris; domain_changes = touched domains) — the full uri_counts state is
-    never scanned for telemetry."""
+def epoch_meters(
+    page_mutations: DataFrame, changes: DataFrame, domain_changes: DataFrame
+) -> dict:
+    """The reference's ten Grafana meters for one batch, computed in ONE
+    Spark job (three one-row aggregates unioned and collected together).
+    Every input is delta-sized (page_mutations = this batch's page diffs;
+    changes = touched uris; domain_changes = touched domains) — the full
+    uri_counts state is never scanned for telemetry.
+
+    Exact reference semantics, per meter:
+      * pages_ingested  — one per PUT delta, deletes excluded (a reload
+        no-op still counts: PageObserver.java:101 marks before comparing
+        links);
+      * pages_changed / pages_exported — one per processed delta, puts
+        AND deletes (PageObserver.java:119-120 exports + marks
+        unconditionally);
+      * links_ingested  — number of ADDED links, Sets.difference(next,
+        cur) on (uri, url) Link identity (PageObserver.java:106-110) —
+        NOT the page's total outbound count;
+      * links_new       — uris whose UriInfo went ZERO -> nonzero
+        (UriCombineQ.java:72-74);
+      * links_changed / links_exported — one per touched uri Change
+        (UriCombineQ.java:68-69);
+      * domains_new     — domains going 0 -> nonzero
+        (DomainCombineQ.java:52-53);
+      * domains_changed / domains_exported — one per touched domain
+        Change (DomainCombineQ.java:55-56, IndexUpdateTranslator.java:49).
+    """
     zero = F.lit(0).cast("long")
+    one_if = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
     stats = (
-        deltas.agg(
+        page_mutations.agg(
             F.lit("pages").alias("k"),
             F.count("*").cast("long").alias("a"),
-            F.coalesce(F.sum(F.size("outbound_links")), F.lit(0))
-            .cast("long").alias("b"),
+            one_if(F.col("op") != "delete").alias("b"),
+            F.coalesce(F.sum(F.size("added_links")), F.lit(0))
+            .cast("long").alias("c"),
         )
         .unionByName(
             changes.agg(
-                F.lit("changes").alias("k"),
+                F.lit("uris").alias("k"),
                 F.count("*").cast("long").alias("a"),
-                zero.alias("b"),
+                one_if(
+                    (F.col("old_links") == 0) & (F.col("old_docs") == 0)
+                    & ((F.col("new_links") != 0) | (F.col("new_docs") != 0))
+                ).alias("b"),
+                zero.alias("c"),
             )
         )
         .unionByName(
             domain_changes.agg(
                 F.lit("domains").alias("k"),
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            (F.col("old_pagecount") == 0)
-                            & (F.col("new_pagecount") != 0),
-                            1,
-                        ).otherwise(0)
-                    ),
-                    F.lit(0),
-                ).cast("long").alias("a"),
-                zero.alias("b"),
+                F.count("*").cast("long").alias("a"),
+                one_if(
+                    (F.col("old_pagecount") == 0) & (F.col("new_pagecount") != 0)
+                ).alias("b"),
+                zero.alias("c"),
             )
         )
     )
-    rows = {r["k"]: (r["a"], r["b"]) for r in stats.collect()}
-    return (
-        int(rows["pages"][0]),
-        int(rows["pages"][1]),
-        int(rows["changes"][0]),
-        int(rows["domains"][0]),
-    )
+    rows = {r["k"]: (int(r["a"]), int(r["b"]), int(r["c"])) for r in stats.collect()}
+    n_deltas, n_puts, links_added = rows["pages"]
+    uris_touched, links_new, _ = rows["uris"]
+    domains_touched, domains_new, _ = rows["domains"]
+    return {
+        "webindex_pages_ingested": n_puts,
+        "webindex_links_ingested": links_added,
+        "webindex_pages_changed": n_deltas,
+        "webindex_links_new": links_new,
+        "webindex_links_changed": uris_touched,
+        "webindex_domains_new": domains_new,
+        "webindex_domains_changed": domains_touched,
+        "webindex_pages_exported": n_deltas,
+        "webindex_links_exported": uris_touched,
+        "webindex_domains_exported": domains_touched,
+    }
 
 
 def _partition_metrics(df: DataFrame, n_parts: int, uri_col: str = "uri") -> list:
@@ -375,28 +411,50 @@ def run_epoch(
     seen_next = seen_tbl.unionByName(newly_seen)
     bloom_next = cfg.filter_insert(newly_seen.select("uri"), bloom_tbl)
 
-    # 6. frontier update: remaining old rows + unseen new candidates,
-    #    deduped by uri (max priority, min discovery epoch)
-    remaining = frontier.join(newly_seen, "uri", "left_anti")
-    fresh = cfg.filter_unseen(children, seen_next, bloom_next).select(
-        "uri", "url", "host", "path",
-        F.col("priority"),
-        F.lit(epoch + 1).cast("long").alias("discovered_epoch"),
-        "is_image",
+    # 6. frontier update, O(delta): consumed rows (scheduled + robots-
+    #    blocked) become merge-commit DELETE keys; unseen new candidates
+    #    become UPSERT rows.  A child already on the frontier gets the
+    #    merged value (max priority, min discovery epoch) via ONE
+    #    key-partitioned join of the delta-sized fresh set against the
+    #    frontier — never a groupBy over the whole remaining ∪ fresh
+    #    union (at a 10^9-row frontier that groupBy is a full-state
+    #    shuffle + rewrite per tick).  This is literally the
+    #    ``MERGE INTO frontier`` statement in sources/iceberg_sql.py:
+    #    MATCHED AND consumed -> DELETE; MATCHED -> greatest(priority);
+    #    NOT MATCHED -> INSERT.
+    fresh = cfg.filter_unseen(children, seen_next, bloom_next)
+    fresh_agg = fresh.groupBy("uri").agg(
+        F.first("url").alias("url"),
+        F.first("host").alias("host"),
+        F.first("path").alias("path"),
+        F.max("priority").alias("priority"),
+        F.first("is_image").alias("is_image"),
+    ).localCheckpoint(eager=True)
+    # old values for colliding keys only: broadcast-semi slice of the
+    # frontier (scan, no state shuffle), then a delta×delta left join
+    old_slice = frontier.join(
+        F.broadcast(fresh_agg.select("uri")), "uri", "left_semi"
+    ).select(
+        "uri",
+        F.col("priority").alias("__old_prio"),
+        F.col("discovered_epoch").alias("__old_de"),
     )
-    frontier_next = (
-        remaining.unionByName(fresh)
-        .groupBy("uri")
-        .agg(
-            F.first("url").alias("url"),
-            F.first("host").alias("host"),
-            F.first("path").alias("path"),
-            F.max("priority").alias("priority"),
-            F.min("discovered_epoch").alias("discovered_epoch"),
-            F.first("is_image").alias("is_image"),
+    frontier_upserts = (
+        fresh_agg.join(old_slice, "uri", "left")
+        .select(
+            "uri", "url", "host", "path",
+            F.greatest(
+                F.col("priority"), F.coalesce("__old_prio", F.lit(float("-inf")))
+            ).alias("priority"),
+            F.least(
+                F.lit(epoch + 1).cast("long"),
+                F.coalesce("__old_de", F.lit((1 << 62))),
+            ).cast("long").alias("discovered_epoch"),
+            "is_image",
         )
         .select(*[f.name for f in FRONTIER_SCHEMA.fields])
     )
+    frontier_tombstones = newly_seen.select("uri")
 
     # 7. index maintenance: fetched pages become 'put' deltas for the
     #    incremental engine (operators/delta.py, T1-T5) — the exact code
@@ -404,9 +462,22 @@ def run_epoch(
     from webindex_spark.operators import delta as delta_ops
     from webindex_spark.operators.index_batch import PAGE_SCHEMA, normalize_links
 
+    # NB: index_rows itself is never read — its merge commit is generated
+    # purely from delta-sized inputs (index_row_mutations), so the
+    # engine's LARGEST table costs zero scan per epoch.
     index_pages_prev = _read_epoch(spark, cat, "index_pages", prev)
-    index_rows_prev = _read_epoch(spark, cat, "index_rows", prev)
     domain_counts_prev = _read_epoch(spark, cat, "domain_counts", prev)
+
+    # Touched-slice discipline: every join of delta data against a state
+    # table goes through a broadcast SEMI join on the delta's keys first,
+    # so the state side is SCANNED (column-pruned, shuffle-free) but
+    # never SHUFFLED — the per-epoch exchanges are all delta-sized.
+    # Iceberg equivalent: MERGE INTO's on-clause pushdown over a table
+    # bucketed by the merge key (storage-partitioned join) — at deltas
+    # too big to broadcast a deployment relies on that bucket
+    # co-location; the semantics here are identical either way.
+    def touched(state: DataFrame, delta_keys: DataFrame, key: str) -> DataFrame:
+        return state.join(F.broadcast(delta_keys.select(key)), key, "left_semi")
 
     ex = fetched_pages.select(
         F.col("uri").alias("page_uri"), F.explode("out_urls").alias("url")
@@ -438,37 +509,46 @@ def run_epoch(
             F.lit("put").alias("op"),
         )
     )
-    index_pages_next, uri_deltas, page_mutations = delta_ops.diff_pages(
-        index_pages_prev, deltas
+    # pages_state sliced to this epoch's delta keys: diff_pages' left join
+    # then builds from a delta-sized state slice (its full-table
+    # pages_next output is never evaluated here — the index_pages commit
+    # is the merge-mode upserts/tombstones below).
+    #
+    # Lineage discipline: each delta-sized frame that feeds BOTH a slice
+    # semi-join and a downstream merge is cut with an EAGER local
+    # checkpoint — without it the sliced-state-joins-delta shape nests
+    # the delta's plan inside the state slice's plan recursively and the
+    # logical plan grows 2^stages (measured: driver OOM just printing
+    # it).  The frames are delta-sized, so the checkpoint cost is the
+    # delta, never the state.
+    deltas = deltas.localCheckpoint(eager=True)
+    _, uri_deltas, page_mutations = delta_ops.diff_pages(
+        touched(index_pages_prev, deltas, "uri"), deltas
     )
-    uri_counts_next, changes = delta_ops.merge_uri_counts(uri_counts, uri_deltas)
-    changes = changes.cache()
-    domain_counts_next, domain_changes = delta_ops.merge_domain_counts(
-        domain_counts_prev, changes, with_changes=True
+    page_mutations = page_mutations.localCheckpoint(eager=True)
+    uri_deltas = uri_deltas.localCheckpoint(eager=True)
+    _, changes = delta_ops.merge_uri_counts(
+        touched(uri_counts, uri_deltas, "uri"), uri_deltas
     )
-    index_rows_next = delta_ops.update_index_rows(
-        index_rows_prev, changes, domain_counts_prev, domain_counts_next, page_mutations
+    changes = changes.localCheckpoint(eager=True)
+    from webindex_spark.functions.spark_udfs import uri_rev_domain_col
+
+    touched_domains = changes.select(
+        uri_rev_domain_col("uri").alias("rev_domain")
+    ).distinct()
+    _, domain_changes = delta_ops.merge_domain_counts(
+        touched(domain_counts_prev, touched_domains, "rev_domain"),
+        changes, with_changes=True,
+    )
+    domain_changes = domain_changes.localCheckpoint(eager=True)
+    index_inserts, index_delete_keys = delta_ops.index_row_mutations(
+        changes, domain_changes, page_mutations
     )
 
-    # metrics: ONE job over delta-sized inputs.  domains_new comes from
-    # merge_domain_counts' own touched-domain rows (old 0 -> new nonzero),
-    # O(delta) — never a distinct/anti-join over the full uri_counts table
-    # (the round-2 version scanned all 10^10 uris per tick for telemetry).
-    n_pages, n_links, changed, domains_new = _epoch_metrics(
-        deltas, changes, domain_changes
-    )
-    metrics = {
-        "webindex_pages_ingested": n_pages,
-        "webindex_links_ingested": int(n_links),
-        "webindex_pages_changed": n_pages,
-        "webindex_links_new": int(n_links),
-        "webindex_links_changed": changed,
-        "webindex_domains_new": domains_new,
-        "webindex_domains_changed": domains_new,
-        "webindex_pages_exported": n_pages,
-        "webindex_links_exported": int(n_links),
-        "webindex_domains_exported": domains_new,
-    }
+    # metrics: ONE job over delta-sized inputs, exact reference meter
+    # semantics (see epoch_meters' docstring) — never a scan of the full
+    # uri_counts state for telemetry.
+    metrics = epoch_meters(page_mutations, changes, domain_changes)
     part_metrics = _partition_metrics(
         fetch_log.select("uri"), cfg.metric_partitions
     )
@@ -479,30 +559,61 @@ def run_epoch(
     # the five core tables, and "frontier" commits LAST, so done ⇒ every
     # earlier commit (incl. pages_state/fetched_images) already published.
     #
-    # Monotone tables (seen / fetch_log / pages_state / fetched_images)
-    # commit ONLY this epoch's delta in append mode — O(delta) write
-    # volume per epoch; the snapshot manifest stitches the cumulative view
-    # (Iceberg: fast-append).  Rewriting them in full each epoch would be
-    # O(total-state) — quadratic over a crawl, a 10^10-seen-set killer.
+    # Every per-epoch commit is O(delta) write volume:
+    #   * monotone tables (seen / fetch_log / pages_state / fetched_images)
+    #     append ONLY this epoch's rows (Iceberg: fast-append);
+    #   * MUTATING tables (uri_counts / domain_counts / index_pages /
+    #     index_rows / frontier) commit mode="merge" — upsert rows +
+    #     delete keys, reconciled on read (Iceberg: MERGE INTO with
+    #     merge-on-read equality deletes; the exact statements in
+    #     sources/iceberg_sql.py).  Rewriting any of them in full each
+    #     epoch is O(total-state) — quadratic over a crawl, the last
+    #     10^10-scale killer the round-3 seam still had;
+    #   * the bloom/cuckoo filter commits full: it is a FIXED-SIZE
+    #     structure (n_partitions packed bit arrays, docs/SCALE.md sizes
+    #     it at 14.4 GiB for 10^10 uris), so its rewrite cost is bounded
+    #     by filter geometry, not by crawl state.
+    # (uri, new_links, new_docs) -> upsert rows + zero-reaching delete keys
+    uc_upserts = changes.where(
+        (F.col("new_links") != 0) | (F.col("new_docs") != 0)
+    ).select(
+        "uri",
+        F.col("new_links").alias("links_to"),
+        F.col("new_docs").alias("docs"),
+    )
+    uc_deletes = changes.where(
+        (F.col("new_links") == 0) & (F.col("new_docs") == 0)
+    ).select("uri")
+    dc_upserts = domain_changes.where(F.col("new_pagecount") != 0).select(
+        "rev_domain", F.col("new_pagecount").alias("pagecount")
+    )
+    dc_deletes = domain_changes.where(F.col("new_pagecount") == 0).select("rev_domain")
+    ip_upserts = deltas.where(F.col("op") != "delete").select(
+        *[f.name for f in PAGE_SCHEMA.fields]
+    )
+    ip_deletes = deltas.where(F.col("op") == "delete").select("uri")
+
     outputs = {
         "pages_state": (
             fetched_pages.select(
                 "uri", "url", "host", "title", "out_urls",
                 F.lit(epoch).cast("long").alias("fetched_epoch"),
             ),
-            "append",
+            "append", None, None,
         ),
-        "fetched_images": (fetched_images, "append"),
-        "fetch_log": (fetch_log, "append"),
-        "seen": (newly_seen, "append"),
-        "bloom": (bloom_next, "full"),
-        "index_pages": (index_pages_next, "full"),
-        "index_rows": (index_rows_next, "full"),
-        "domain_counts": (domain_counts_next, "full"),
-        "uri_counts": (uri_counts_next, "full"),
-        "frontier": (frontier_next, "full"),
+        "fetched_images": (fetched_images, "append", None, None),
+        "fetch_log": (fetch_log, "append", None, None),
+        "seen": (newly_seen, "append", None, None),
+        "bloom": (bloom_next, "full", None, None),
+        "index_pages": (ip_upserts, "merge", ["uri"], ip_deletes),
+        "index_rows": (
+            index_inserts, "merge", ["row", "cf", "cq"], index_delete_keys,
+        ),
+        "domain_counts": (dc_upserts, "merge", ["rev_domain"], dc_deletes),
+        "uri_counts": (uc_upserts, "merge", ["uri"], uc_deletes),
+        "frontier": (frontier_upserts, "merge", ["uri"], frontier_tombstones),
     }
-    for name, (df, mode) in outputs.items():
+    for name, (df, mode, keys, dels) in outputs.items():
         t = cat.table(name)
         if t.epoch_of_head() is not None and t.epoch_of_head() >= epoch:
             continue  # already committed by a previous (killed) run
@@ -511,9 +622,16 @@ def run_epoch(
         t.commit(
             df, epoch=epoch, lineage=lineage, metrics=metrics,
             partition_metrics=part_metrics, mode=mode,
+            merge_keys=keys, deletes=dels,
         )
+        if (
+            mode == "merge"
+            and cfg.compact_every
+            and epoch % cfg.compact_every == 0
+        ):
+            t.compact(spark)
 
-    for c in (gated, scheduled, fetched_pages, newly_seen, changes):
+    for c in (gated, scheduled, fetched_pages, newly_seen):
         c.unpersist()
     return metrics
 

@@ -95,10 +95,17 @@ def _probe_prerank_cogroup(
     bits: int,
     n_partitions: int,
     n_sub: int = 1,
+    filter_kind: str = "bloom",
 ) -> DataFrame:
     """Fused Arrow kernel for the too-big-to-broadcast filter regime:
-    per (host, salt)-derived shard, run the vectorized Bloom bit probe
-    AND the phase-1 politeness pre-rank of the fresh rows in one pass.
+    per (host, salt)-derived shard, run the vectorized filter probe
+    (Bloom bit test, or cuckoo fingerprint-lane test when
+    ``filter_kind="cuckoo"`` — then ``bits`` is the buckets-per-shard
+    ``m`` and ``k`` is unused) AND the phase-1 politeness pre-rank of
+    the fresh rows in one pass.  Both filter tables must be built with
+    the SAME host_salt_pid (``*_insert(pid_expr=...)``); the scheduling
+    semantics downstream are filter-blind — the tier only decides which
+    rows take the exact anti-join.
 
     Output: candidate columns + ``__salt`` + ``maybe_seen``; fresh rows
     are already cut to ≤ budget per shard-local (host, salt) slice
@@ -114,13 +121,20 @@ def _probe_prerank_cogroup(
     ranking windows restore exactness.  The bloom MUST be built with
     the same (n_salts, n_sub, n_partitions) pid."""
     pid = seen_ops.host_salt_pid(host_col, uri_col, n_salts, n_partitions, n_sub)
-    cand = seen_ops._with_hashes(
-        candidates.withColumn(SALT_COL, salt_col(uri_col, n_salts)),
-        uri_col, n_partitions, pid_expr=pid,
-    )
-    cols = [f.name for f in cand.schema.fields if f.name not in ("h1", "h2", "pid")]
+    salted = candidates.withColumn(SALT_COL, salt_col(uri_col, n_salts))
+    if filter_kind == "cuckoo":
+        from webindex_spark.operators import cuckoo as cuckoo_ops
+
+        cand = cuckoo_ops._with_hashes(
+            salted, uri_col, bits, n_partitions, pid_expr=pid
+        )
+        hash_cols = ("fp", "i1", "i2", "pid")
+    else:
+        cand = seen_ops._with_hashes(salted, uri_col, n_partitions, pid_expr=pid)
+        hash_cols = ("h1", "h2", "pid")
+    cols = [f.name for f in cand.schema.fields if f.name not in hash_cols]
     out_schema = T.StructType(
-        [f for f in cand.schema.fields if f.name not in ("h1", "h2", "pid")]
+        [f for f in cand.schema.fields if f.name not in hash_cols]
         + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
 
@@ -128,6 +142,16 @@ def _probe_prerank_cogroup(
         n = len(cdf)
         if len(bdf) == 0:
             maybe = np.zeros(n, dtype=bool)
+        elif filter_kind == "cuckoo":
+            from webindex_spark.operators.cuckoo import _FP_MASK, _lanes
+
+            b = np.asarray(bdf["buckets"].iloc[0], dtype=np.int64).view(np.uint64)
+            fp = cdf["fp"].to_numpy().astype(np.uint64)
+            maybe = np.zeros(n, dtype=bool)
+            for idx_col in ("i1", "i2"):
+                w = b[cdf[idx_col].to_numpy()]
+                for lane in _lanes(w):
+                    maybe |= lane == fp
         else:
             words = np.asarray(bdf["words"].iloc[0], dtype=np.int64).view(np.uint64)
             idx = seen_ops._indices(
@@ -189,6 +213,7 @@ def schedule_frontier(
     seen_prepartitioned: bool = False,
     keep_cols: list[str] | None = None,
     n_sub: int = 1,
+    filter_kind: str = "bloom",
 ) -> DataFrame:
     """candidates -> unseen -> robots-allowed -> per-host budget/slots.
 
@@ -223,10 +248,15 @@ def schedule_frontier(
         uri_col, host_col, "priority", "crawl_delay", *keep
     )
 
+    filter_bytes = (
+        n_partitions * bits * 8        # m packed-fingerprint longs/shard
+        if filter_kind == "cuckoo"
+        else n_partitions * (bits // 8)
+    )
     cogroup_mode = (
         bloom is not None
         and seen is not None
-        and n_partitions * (bits // 8) > seen_ops.BROADCAST_BLOOM_MAX_BYTES
+        and filter_bytes > seen_ops.BROADCAST_BLOOM_MAX_BYTES
     )
 
     if cogroup_mode:
@@ -247,7 +277,7 @@ def schedule_frontier(
         out = _probe_prerank_cogroup(
             allowed, bloom, budget, uri_col=uri_col, host_col=host_col,
             n_salts=n_salts, k=k, bits=bits, n_partitions=n_partitions,
-            n_sub=n_sub,
+            n_sub=n_sub, filter_kind=filter_kind,
         )
         # ONE consumer, no checkpoint: every kernel output row flows into
         # the same anti-join.  Bloom has no false negatives, so a

@@ -54,7 +54,20 @@ _H31 = 1 << 31
 
 
 def bloom_params(expected_n: int, fpp: float = 0.01, n_partitions: int = 64):
-    """(n_partitions, bits_per_partition, k). bits rounded to 64."""
+    """(n_partitions, bits_per_partition, k). bits rounded to 64.
+
+    Sizing assumes UNIFORM load across shards.  With ``host_salt_pid``
+    sharding, one shard carries a whole (host, salt) slice of the seen
+    set: a host holding p% of all seen uris puts ~p/n_salts% of the set
+    against 1/n_partitions of the bits, and past ~bits/10 entries that
+    shard's FPP degrades toward 1 — every fresh candidate of the hot
+    host then flags maybe_seen, silently bypassing the in-kernel
+    politeness pre-cut and inflating the exact anti-join (correct, but
+    the cheap-negative tier stops paying there).  Levers, in order:
+    raise ``n_sub`` in host_salt_pid (divides the hot host's filter load
+    n_sub ways — note it divides BLOOM load as well as scheduling skew),
+    or size ``expected_n`` for the hottest expected (host, salt) slice
+    times n_partitions rather than for the global mean."""
     total_bits = max(4096, int(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
     bits = ((total_bits // n_partitions) + 63) // 64 * 64
     k = max(1, round(math.log(2) * total_bits / max(1, expected_n)))
@@ -94,7 +107,15 @@ def host_salt_pid(
     ≤ budget × n_sub rows per (host, salt) — still a superset of the
     exact top-budget (any row in the true per-(host,salt) top-budget
     ranks ≤ budget inside its own sub-slice too), and the downstream
-    ranking window restores exactness."""
+    ranking window restores exactness.
+
+    ``n_sub`` also divides the hot host's BLOOM-shard load: each shard
+    stores that host's seen fingerprints too, so a saturated hot shard
+    (see bloom_params' sizing note) is relieved by the same lever.
+    Measured at 10% skew the scheduling side was NET NEGATIVE for
+    n_sub>1 (anti-join survivors grew 14M -> 26M), so the default stays
+    1 — flip it only when a hot shard's FPP, not task skew, is the
+    bottleneck."""
     key = [F.lit("pid"), F.col(host_col), salt_col(uri_col, n_salts)]
     if n_sub > 1:
         key.append(F.pmod(F.xxhash64(F.lit("sub"), F.col(uri_col)), F.lit(n_sub)))

@@ -249,20 +249,9 @@ SQL_SCHEDULE = (
 )
 
 
-def q_sched_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FUSED 10^10-regime scheduling plan end-to-end through the
-    production operator (sched_pipeline.schedule_frontier with the
-    cogroup probe+pre-cut Arrow kernel forced): robots broadcast gate →
-    ONE (host,salt)-pid candidate exchange → in-kernel bloom probe +
-    politeness pre-cut → exact anti-join → two-phase ranking.  The
-    oracle is the naive gate+anti-join+single-window SQL — identical
-    output because the kernel pre-cut and phase 1 never discard a row
-    the exact ranking keeps (sched_pipeline.py docstrings); this row
-    value-hash-certifies the scaling benchmark's flagship plan, not just
-    its pytest equivalence."""
-    from webindex_spark.operators import sched_pipeline
-    from webindex_spark.operators import seen as seen_ops
-
+def _sched_world(spark: SparkSession, sf_dir: str):
+    """Shared candidates/robots/seen derivation for the two fused-plan
+    gate queries (the filter tier is the ONLY difference between them)."""
     ev = _t(spark, sf_dir, "events")
     cand = ev.select(
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
@@ -280,20 +269,44 @@ def q_sched_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
         F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
     )
-    n_parts, bits, k = seen_ops.bloom_params(2_000, 0.01, 8)
-    pid = seen_ops.host_salt_pid("host", "uri", 4, n_parts)
-    bloom = seen_ops.bloom_insert(
-        seen, seen_ops.empty_bloom(spark, n_parts, bits),
-        "uri", k, bits, n_parts, pid_expr=pid,
-    )
+    return cand, robots, seen
+
+
+def _run_sched_cogroup(spark, sf_dir, filter_kind: str) -> DataFrame:
+    from webindex_spark.operators import sched_pipeline
+    from webindex_spark.operators import seen as seen_ops
+
+    cand, robots, seen = _sched_world(spark, sf_dir)
+    if filter_kind == "cuckoo":
+        from webindex_spark.operators import cuckoo as cuckoo_ops
+
+        # sized for the sf0.1 seen set (~25k) with (host,salt)-shard skew
+        # headroom — unlike Bloom, an overloaded cuckoo shard raises
+        # rather than degrading, so the gate sizes for the largest sf it
+        # runs at (bloom_params docstring discusses the same skew math)
+        n_parts, m = cuckoo_ops.cuckoo_params(60_000, 8)
+        k, bits = 0, m
+        pid = seen_ops.host_salt_pid("host", "uri", 4, n_parts)
+        filt = cuckoo_ops.cuckoo_insert(
+            seen, cuckoo_ops.empty_cuckoo(spark, n_parts, m),
+            "uri", m, n_parts, pid_expr=pid,
+        )
+    else:
+        n_parts, bits, k = seen_ops.bloom_params(2_000, 0.01, 8)
+        pid = seen_ops.host_salt_pid("host", "uri", 4, n_parts)
+        filt = seen_ops.bloom_insert(
+            seen, seen_ops.empty_bloom(spark, n_parts, bits),
+            "uri", k, bits, n_parts, pid_expr=pid,
+        )
     # force the cogroup branch (the build-time mode decision models a
     # filter past the broadcast cap); restore the cap after construction
     old = seen_ops.BROADCAST_BLOOM_MAX_BYTES
     seen_ops.BROADCAST_BLOOM_MAX_BYTES = 0
     try:
         out = sched_pipeline.schedule_frontier(
-            cand, seen, bloom, robots, budget=7, n_salts=4,
+            cand, seen, filt, robots, budget=7, n_salts=4,
             k=k, bits=bits, n_partitions=n_parts, num_partitions=16,
+            filter_kind=filter_kind,
         )
     finally:
         seen_ops.BROADCAST_BLOOM_MAX_BYTES = old
@@ -302,6 +315,32 @@ def q_sched_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slot").cast("long").alias("slot"),
         F.col("tick").cast("double").alias("tick"),
     )
+
+
+def q_sched_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED 10^10-regime scheduling plan end-to-end through the
+    production operator (sched_pipeline.schedule_frontier with the
+    cogroup probe+pre-cut Arrow kernel forced): robots broadcast gate →
+    ONE (host,salt)-pid candidate exchange → in-kernel bloom probe +
+    politeness pre-cut → exact anti-join → two-phase ranking.  The
+    oracle is the naive gate+anti-join+single-window SQL — identical
+    output because the kernel pre-cut and phase 1 never discard a row
+    the exact ranking keeps (sched_pipeline.py docstrings); this row
+    value-hash-certifies the scaling benchmark's flagship plan, not just
+    its pytest equivalence."""
+    return _run_sched_cogroup(spark, sf_dir, "bloom")
+
+
+def q_sched_cogroup_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fused plan with the CUCKOO tier (exact-deletion filter,
+    operators/cuckoo.py) as the in-kernel cheap negative: fingerprint
+    lanes probed per (host,salt)-pid shard instead of Bloom bits.  The
+    oracle SQL is IDENTICAL to sched_cogroup's — the filter tier is
+    semantically invisible (no false negatives + exact anti-join), which
+    is precisely the property this gate certifies end-to-end for the
+    cuckoo kernel (cuckoo_insert pid_expr sharding + in-kernel lane
+    probe + politeness pre-cut)."""
+    return _run_sched_cogroup(spark, sf_dir, "cuckoo")
 
 
 SQL_SCHED_COGROUP = (
@@ -1204,6 +1243,7 @@ QUERIES: dict = {
     "frontier_unseen": (q_frontier_unseen, SQL_FRONTIER_UNSEEN),
     "schedule": (q_schedule, SQL_SCHEDULE),
     "sched_cogroup": (q_sched_cogroup, SQL_SCHED_COGROUP),
+    "sched_cogroup_cuckoo": (q_sched_cogroup_cuckoo, SQL_SCHED_COGROUP),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),

@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from webindex_spark.plans import queries
 
 
+class InvalidRequest(ValueError):
+    """A request whose parameters cannot be served -> HTTP 400."""
+
+
 class WebIndexApp:
     """Route implementations over cached state tables."""
 
@@ -76,9 +80,9 @@ class WebIndexApp:
     def page(self, url: str) -> dict:
         from webindex_spark.functions.urlnorm import parse_one
 
-        parsed = parse_one(url)
-        if not parsed["valid"]:
-            return {"error": f"invalid url: {url}"}
+        parsed = parse_one(url)  # None for an unparseable/invalid url
+        if parsed is None:
+            raise InvalidRequest(f"invalid url: {url}")
         rows = queries.page_details(
             self.pages_state, self.uri_counts, parsed["uri"]
         ).collect()
@@ -127,6 +131,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return
         except KeyError as e:
             self.send_error(400, f"missing query param {e}")
+            return
+        except (ValueError, InvalidRequest) as e:
+            # non-integer offset, invalid url, ... -> a real 400, never a
+            # dropped connection or a 200 with an error body
+            self.send_error(400, str(e))
+            return
+        except Exception:  # Spark analysis errors etc. -> 500, not EOF
+            self.send_error(500, "internal error")
             return
         data = json.dumps(body).encode()
         self.send_response(200)

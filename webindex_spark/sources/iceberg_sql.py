@@ -77,6 +77,20 @@ MERGE_TABLES: dict[str, str] = {
 }
 
 
+# what the LOCAL snapshot seam actually commits per epoch (asserted
+# against run_epoch's real manifests in tests/test_iceberg_sql.py):
+# append tables fast-append; the five mutating tables commit
+# mode="merge" (upsert rows + delete keys, merge-on-read — the executable
+# local form of the MERGE INTO statements above); the bloom/cuckoo filter
+# alone rewrites full, because it is a fixed-size structure whose write
+# cost is bounded by filter geometry, not crawl state.
+LOCAL_COMMIT_MODES: dict[str, str] = {
+    **{t: "append" for t in APPEND_TABLES},
+    **{t: "merge" for t in MERGE_TABLES},
+    "bloom": "full",
+}
+
+
 def append_statement(table: str, cat: str = "cat") -> str:
     meta = APPEND_TABLES[table]
     return f"{meta['df']}.writeTo(\"{cat}.{table}\").append()"
@@ -99,7 +113,9 @@ def render(cat: str = "cat") -> str:
     lines = ["# Iceberg statements per run_epoch commit site (dry-run)", ""]
     for table, stmt in sorted(epoch_statements(cat).items()):
         mode = "append" if table in APPEND_TABLES else "merge"
-        lines.append(f"[{table}] mode={mode}")
+        lines.append(
+            f"[{table}] mode={mode} local_commit={LOCAL_COMMIT_MODES[table]}"
+        )
         if table in APPEND_TABLES:
             lines.append(
                 f"  layout: PARTITIONED BY ({APPEND_TABLES[table]['partitioned_by']})"

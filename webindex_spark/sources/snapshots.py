@@ -35,7 +35,9 @@ import json
 import os
 import shutil
 import uuid
+from functools import reduce
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -71,13 +73,58 @@ class SnapshotTable:
         return self.head() is not None
 
     def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        """Current rows of the table AS OF ``snapshot`` (default HEAD).
+
+        Plain/append snapshots are a straight multi-segment parquet scan.
+        Snapshots whose chain contains ``mode="merge"`` commits are
+        reconciled merge-on-read, exactly like Iceberg equality deletes:
+        a delete key written at sequence ``s`` removes every matching row
+        in segments with sequence ``< s`` (an upsert is delete+insert at
+        the same sequence, so its own rows survive while every older
+        version of the key dies).  The reconciliation is one delta-sized
+        aggregate plus one key-partitioned left join — no window, because
+        each merge commit carries at most one row per key.
+        """
         sid = self.head() if snapshot is None else snapshot
         if sid is None:
             raise FileNotFoundError(f"table {self.name} has no committed snapshot")
-        segs = self.manifest(sid).get("segments")
-        if segs:
-            return spark.read.parquet(*[os.path.join(self.dir, s) for s in segs])
-        return spark.read.parquet(self._snap_dir(sid))
+        man = self.manifest(sid)
+        segs = man.get("segments")
+        deletes = man.get("delete_segments") or []
+        merge_segs = man.get("merge_segments") or []
+        if not deletes and not merge_segs:
+            if segs:
+                return spark.read.parquet(*[os.path.join(self.dir, s) for s in segs])
+            return spark.read.parquet(self._snap_dir(sid))
+        keys = man["merge_keys"]
+        parts = [
+            spark.read.parquet(os.path.join(self.dir, s))
+            .withColumn("__seq", F.lit(i).cast("long"))
+            for i, s in enumerate(segs)
+        ]
+        rows = reduce(DataFrame.unionByName, parts)
+        cols = [c for c in rows.columns if c != "__seq"]
+        # tombstones: explicit delete-key segments, plus the keys of every
+        # merge data segment (upsert = delete old versions + insert new)
+        merge_seq = {s: i for i, s in enumerate(segs)}
+        tomb_parts = [
+            spark.read.parquet(os.path.join(self.dir, s))
+            .select(*keys)
+            .withColumn("__tseq", F.lit(int(seq)).cast("long"))
+            for s, seq in deletes
+        ] + [
+            spark.read.parquet(os.path.join(self.dir, s))
+            .select(*keys)
+            .withColumn("__tseq", F.lit(merge_seq[s]).cast("long"))
+            for s in merge_segs
+        ]
+        tombs = reduce(DataFrame.unionByName, tomb_parts)
+        max_tomb = tombs.groupBy(*keys).agg(F.max("__tseq").alias("__mt"))
+        return (
+            rows.join(max_tomb, keys, "left")
+            .where(F.col("__mt").isNull() | (F.col("__seq") >= F.col("__mt")))
+            .select(*cols)
+        )
 
     def manifest(self, snapshot: int | None = None) -> dict:
         sid = self.head() if snapshot is None else snapshot
@@ -104,6 +151,9 @@ class SnapshotTable:
         metrics: dict | None = None,
         partition_metrics: list | None = None,
         mode: str = "full",
+        merge_keys: list[str] | None = None,
+        deletes: DataFrame | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Write ``df`` as the next snapshot; returns its id.
 
@@ -117,12 +167,28 @@ class SnapshotTable:
         (Iceberg equivalent: ``df.writeTo(t).append()``, a fast-append
         snapshot whose manifest list points at the prior manifests).
 
+        ``mode="merge"``: ``df`` carries only the UPSERTED rows (at most
+        one row per ``merge_keys`` value) and ``deletes`` only the keys
+        of rows removed outright; the commit writes both as delta-sized
+        segments and the manifest stitches them onto the parent's — the
+        local model of an Iceberg ``MERGE INTO`` with merge-on-read
+        equality deletes (the exact statements in
+        ``sources/iceberg_sql.MERGE_TABLES``).  Commit cost is O(delta)
+        regardless of table size; ``read()`` reconciles.  This is how the
+        engine's MUTATING state tables (uri_counts, domain_counts,
+        frontier, index_rows, index_pages) avoid the O(state)-per-epoch
+        rewrite the reference's Fluo CFM also avoids by touching only
+        dirtied buckets (UriCombineQ.java:87-90).  ``compact()`` folds
+        the chain back to one segment when read amplification grows.
+
         Either way the write lands in a scratch dir first, is renamed to
         its immutable location, the manifest is written, and only then
         does the atomic HEAD replace publish the snapshot.
         """
-        if mode not in ("full", "append"):
+        if mode not in ("full", "append", "merge"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        if mode == "merge" and not merge_keys:
+            raise ValueError("mode='merge' requires merge_keys")
         parent = self.head()
         sid = (parent or 0) + 1
         tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
@@ -132,13 +198,38 @@ class SnapshotTable:
             shutil.rmtree(target)
         os.replace(tmp, target)
         own_seg = os.path.basename(target)
+        parent_man = self.manifest(parent) if parent is not None else {}
+        parent_segs = parent_man.get(
+            "segments",
+            [os.path.basename(self._snap_dir(parent))] if parent is not None else [],
+        )
+        merge_segments = list(parent_man.get("merge_segments") or [])
+        delete_segments = list(parent_man.get("delete_segments") or [])
         if mode == "append" and parent is not None:
-            parent_segs = self.manifest(parent).get(
-                "segments", [os.path.basename(self._snap_dir(parent))]
-            )
             segments = parent_segs + [own_seg]
-        else:
+        elif mode == "merge":
+            if merge_keys and parent_man.get("merge_keys") not in (None, merge_keys):
+                raise ValueError(
+                    f"merge_keys {merge_keys} != parent's {parent_man['merge_keys']}"
+                )
+            segments = parent_segs + [own_seg]
+            merge_segments.append(own_seg)
+            if deletes is not None:
+                dtmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+                deletes.select(*merge_keys).write.mode("overwrite").parquet(dtmp)
+                dtarget = os.path.join(self.dir, f"snap-{sid:05d}-deletes")
+                if os.path.exists(dtarget):
+                    shutil.rmtree(dtarget)
+                os.replace(dtmp, dtarget)
+                # the delete segment shares its data segment's sequence:
+                # it kills strictly-older versions only
+                delete_segments.append(
+                    [os.path.basename(dtarget), len(segments) - 1]
+                )
+        else:  # full: truncate-and-replace, chain state resets
             segments = [own_seg]
+            merge_segments = []
+            delete_segments = []
         man = {
             "table": self.name,
             "snapshot": sid,
@@ -150,6 +241,12 @@ class SnapshotTable:
             "metrics": metrics or {},
             "partition_metrics": partition_metrics or [],
         }
+        if mode == "merge" or merge_segments or delete_segments:
+            man["merge_keys"] = merge_keys or parent_man.get("merge_keys")
+            man["merge_segments"] = merge_segments
+            man["delete_segments"] = delete_segments
+        if extra:
+            man.update(extra)
         with open(self._manifest_path(sid), "w", encoding="utf-8") as f:
             json.dump(man, f)
         head_tmp = self._head_path + f".tmp-{uuid.uuid4().hex}"
@@ -157,6 +254,22 @@ class SnapshotTable:
             f.write(str(sid))
         os.replace(head_tmp, self._head_path)  # the commit point
         return sid
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold the segment chain back into ONE full segment (Iceberg
+        rewrite_data_files): reads the reconciled state and commits it
+        ``mode="full"`` under the SAME epoch tag as HEAD, marked
+        ``compaction`` in the manifest.  Amortizes merge-on-read
+        amplification; safe at any point because readers of older
+        snapshots keep their immutable segment lists."""
+        head_man = self.manifest()
+        return self.commit(
+            self.read(spark),
+            epoch=head_man.get("epoch"),
+            lineage=head_man.get("lineage"),
+            mode="full",
+            extra={"compaction": True},
+        )
 
     def rollback(self, snapshot: int) -> None:
         """Move HEAD back to an earlier snapshot (crash simulation/tests)."""
@@ -180,12 +293,26 @@ class SnapshotTable:
         idempotent replay: a re-run of epoch/batch E must read every input
         table AS OF the pre-E state, even when a previous crashed attempt
         already pushed some table's HEAD to E (Iceberg equivalent:
-        ``VERSION AS OF`` the snapshot preceding E's commit)."""
+        ``VERSION AS OF`` the snapshot preceding E's commit).
+
+        Untagged snapshots are accepted only at the chain ROOT (the
+        initial-state commit): an untagged commit that landed mid-chain
+        (e.g. a manual write between micro-batches) has no defined
+        position in epoch time, and silently treating it as "older than
+        everything" could pin replay to post-batch state — so the walk
+        raises instead of guessing."""
         sid = self.head()
         while sid is not None:
             m = self.manifest(sid)
             e = m.get("epoch")
-            if e is None or e < epoch:
+            if e is None:
+                if m.get("parent") is not None:
+                    raise ValueError(
+                        f"table {self.name}: untagged snapshot {sid} mid-chain — "
+                        "cannot order it against epochs; tag every commit"
+                    )
+                return sid
+            if e < epoch:
                 return sid
             sid = m.get("parent")
         return None

@@ -90,9 +90,11 @@ def apply_page_batch(spark: SparkSession, cat: Catalog, pages: DataFrame,
     )
     uri_counts_next, changes = delta_ops.merge_uri_counts(uri_counts_prev, uri_deltas)
     changes = changes.localCheckpoint(eager=True)  # cut streaming lineage
-    domain_counts_next = delta_ops.merge_domain_counts(domain_counts_prev, changes)
+    domain_counts_next, domain_changes = delta_ops.merge_domain_counts(
+        domain_counts_prev, changes, with_changes=True
+    )
     index_rows_next = delta_ops.update_index_rows(
-        index_rows_prev, changes, domain_counts_prev, domain_counts_next, mutations
+        index_rows_prev, changes, domain_changes, mutations
     )
     outputs = {
         "index_pages": index_pages_next,
