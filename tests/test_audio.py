@@ -89,3 +89,28 @@ def test_audio_near_dup_through_simsearch(spark):
     queries = dup.selectExpr("'dup' AS q_id", "features AS q_emb")
     top = simsearch.brute_force_topk(corpus, queries, k=1).collect()
     assert top[0]["vec_id"] == "clip/0" and top[0]["cosine"] > 0.95
+
+
+def test_gate_features_matches_clip_features(spark):
+    """The oracle-gate descriptor (integer sum_sq / crossings through the
+    same decode plumbing) agrees with clip_features' float rms/zcr:
+    rms == sqrt(sum_sq/n)/32768 and zcr == crossings/(n-1) exactly,
+    because wave == q/32768 losslessly."""
+    import numpy as np
+
+    ids = [f"au{i}" for i in range(6)]
+    n = 2048
+    df = spark.createDataFrame(synth.gen_audio_pandas(ids, n, 8000))
+    got = {
+        r["audio_id"]: (r["sum_sq"], r["zero_crossings"])
+        for r in audio_ops.gate_features(df).collect()
+    }
+    for aid in ids:
+        wave = synth.audio_wave(aid, n, 8000)
+        q = np.round(
+            np.clip(wave, -1, 32767 / 32768) * 32768.0
+        ).astype(np.int64)
+        feats = audio_ops.clip_features(q / 32768.0)
+        sum_sq, zc = got[aid]
+        assert abs(np.sqrt(sum_sq / n) / 32768.0 - feats[0]) < 1e-12
+        assert zc == round(feats[1] * (n - 1))

@@ -167,3 +167,44 @@ def resample_audio(audio: DataFrame, to_sr: int) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema=RESAMPLED_SCHEMA)
+
+
+GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def gate_features(audio: DataFrame) -> DataFrame:
+    """RMS/ZCR through the SAME decode + mapInPandas plumbing as
+    ``audio_features``, reduced to the INTEGER-EXACT descriptor a SQL
+    oracle can recompute: the int16 samples are recovered exactly from
+    the decoded float wave (the codec's /32768 is lossless round-trip),
+    so sum-of-squares and sign-change counts are plain integers both
+    engines compute identically — no float-summation-order hazard.
+    RMS = sqrt(sum_sq/n)/32768 and ZCR = crossings/(n-1) then derive
+    from the longs by single correctly-rounded IEEE ops (crawl_queries'
+    ``audio_gate`` computes them identically on both sides)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sum_sqs, zcs = [], []
+            for r in pdf.itertuples():
+                wave = decode(r.bytes, int(r.n_samples), r.fmt)
+                q = np.round(wave * 32768.0).astype(np.int64)
+                sum_sqs.append(int((q * q).sum()))
+                zcs.append(int(((q[1:] < 0) != (q[:-1] < 0)).sum()))
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"],
+                    "n_samples": pdf["n_samples"].astype("int32"),
+                    "sum_sq": np.asarray(sum_sqs, dtype=np.int64),
+                    "zero_crossings": np.asarray(zcs, dtype=np.int64),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=GATE_SCHEMA)

@@ -103,42 +103,52 @@ def lsh_candidates(
     exploded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # two consumers below (hot-bucket census + the guard join): materialize
-    # once instead of re-running the k-min signature aggregation
-    exploded = exploded.localCheckpoint(eager=True)
-    # spam-cluster guard: drop oversized buckets (boilerplate shingles).
-    # Oversized buckets are by definition FEW (count > max_bucket), so the
-    # guard is a broadcast anti-join against their key list — a hash agg
-    # plus a broadcast, instead of the count-over-window form whose sort
-    # re-shuffles every (band, bucket) row.
-    hot = (
+    # ONE shuffle total: collect each (band, bucket)'s member ids, apply
+    # the spam-cluster guard (boilerplate-shingle buckets bigger than
+    # max_bucket are dropped whole — identical semantics to an anti-join
+    # against a hot-key census, minus that plan's extra checkpoint +
+    # census aggregation + broadcast + self-join stages), then expand the
+    # ≤ max_bucket² in-bucket pairs JVM-side with indexed transforms over
+    # the sorted id array (sortedness gives id_a < id_b for free).
+    buckets = (
         exploded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > max_bucket)
-        .drop("__n")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    bounded = exploded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a = bounded.alias("a")
-    b = bounded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
 
-def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.7) -> DataFrame:
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.7,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """TRUE Jaccard over shingle sets for candidate pairs.
 
     |A∩B| via a (pair ⋈ shingles) double join keyed by shingle_hash;
     |A∪B| = |A|+|B|-|A∩B|.  Only candidate pairs pay this cost.
-    """
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    (A broadcast-semi slice of ``sh`` down to candidate ids measured
+    SLOWER at bench scale — the extra materialization + broadcast jobs
+    outweigh shuffling the corpus' 8-byte shingle rows; at corpus sizes
+    where that flips, slice before calling.)
+
+    ``sizes`` (id, sz) overrides the per-id set-size aggregate when the
+    caller already has it (minhash_dedup's one-groupBy plan)."""
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
         .join(
@@ -165,11 +175,37 @@ def minhash_dedup(
     n: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.7,
     token_hash_fn=None, compose_fn=None, bucket_fn=None,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
-    sh = shingles(docs, id_col, text_col, n, token_hash_fn, compose_fn).cache()
-    sig = minhash_signatures(sh, k)
+    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
+
+    ONE corpus-sized shuffle total: the exploded gram hashes go through
+    a single ``groupBy(id).collect_set`` whose array output feeds all
+    three consumers — the k minima (array-transform minima, no second
+    groupBy), the set sizes (``F.size``, no third groupBy), and the
+    verify-stage shingle rows (re-explode, a narrow op).  The previous
+    plan shuffled the ~50-shingles-per-doc corpus three times (distinct,
+    signature agg, size agg); results are identical because
+    collect_set ≡ distinct per id and the minima are order-free."""
+    from webindex_spark.operators.textstats import exploded_ngram_hashes
+
+    gr = exploded_ngram_hashes(docs, id_col, text_col, n, token_hash_fn, compose_fn)
+    sets = gr.groupBy("id").agg(F.collect_set("gh").alias("ghs")).cache()
+    def _mix(a: int, b: int):
+        a31, b61 = (a % (1 << 31)) | 1, b % _P
+        return lambda h: F.pmod(
+            F.lit(a31) * F.pmod(h, F.lit(1 << 31)) + F.lit(b61), F.lit(_P)
+        )
+
+    sig = sets.select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("ghs"), _mix(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_mix_consts(k))
+        ],
+    )
     cand = lsh_candidates(sig, k, bands, bucket_fn=bucket_fn)
-    return jaccard_verify(cand, sh, threshold)
+    sh = sets.select("id", F.explode("ghs").alias("shingle_hash"))
+    sizes = sets.select("id", F.size("ghs").cast("long").alias("sz"))
+    return jaccard_verify(cand, sh, threshold, sizes=sizes)
 
 
 def simhash(

@@ -359,6 +359,81 @@ SQL_SCHED_COGROUP = (
 )
 
 
+_AUDIO_N = 512          # samples per synthesized clip
+_M31 = 1 << 31
+
+
+def q_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio lane's Spark path under a full value-hash oracle: a
+    deterministic PCM16 clip is synthesized per doc_id by a pure-integer
+    recurrence (portable to DuckDB — no numpy RNG, no libm in the
+    samples), encoded as real 'rawa' payload bytes, then decoded and
+    reduced THROUGH the production mapInPandas plumbing
+    (operators/audio.gate_features) to the integer-exact RMS/ZCR
+    descriptor.  The float rms/zcr columns derive from the exact longs
+    by single correctly-rounded IEEE ops (exact-int -> double, /2^k,
+    sqrt), identical in both engines — the rfft spectral bands stay
+    pytest-oracled (operators/audio.clip_features)."""
+    from webindex_spark.operators import audio as audio_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = _AUDIO_N
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            rows = {"audio_id": [], "bytes": []}
+            for did in ids:
+                h = (int(did) * 2654435761) % _M31
+                x = (h + i * 1103515245) % _M31
+                s = ((x * 48271) % _M31) % 65536 - 32768
+                rows["audio_id"].append(f"a{did}")
+                rows["bytes"].append(s.astype("<i2").tobytes())
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = np.int32(8000)
+            out["n_samples"] = np.int32(n)
+            out["fmt"] = "rawa"
+            yield out
+
+    audio = docs.mapInPandas(
+        synth,
+        schema=(
+            "audio_id string, bytes binary, sample_rate int, "
+            "n_samples int, fmt string"
+        ),
+    )
+    g = audio_ops.gate_features(audio)
+    return g.select(
+        "audio_id",
+        "sum_sq",
+        "zero_crossings",
+        (F.sqrt(F.col("sum_sq") / F.lit(n)) / F.lit(32768.0)).alias("rms"),
+        (F.col("zero_crossings") / F.lit(n - 1)).alias("zcr"),
+    )
+
+
+SQL_AUDIO_GATE = (
+    f"WITH s AS (SELECT doc_id, i, "
+    f"(((((doc_id * 2654435761) % {_M31}) + i * 1103515245) % {_M31}) "
+    f"* 48271) % {_M31} % 65536 - 32768 AS smp "
+    f"FROM documents, range(0, {_AUDIO_N}) t(i)), "
+    "p AS (SELECT doc_id, smp, "
+    "LAG(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s), "
+    "a AS (SELECT doc_id, CAST(SUM(smp * smp) AS BIGINT) AS sum_sq, "
+    "CAST(SUM(CASE WHEN prev IS NOT NULL AND ((smp < 0) != (prev < 0)) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings "
+    "FROM p GROUP BY doc_id) "
+    "SELECT 'a' || CAST(doc_id AS VARCHAR) AS audio_id, sum_sq, "
+    "zero_crossings, "
+    f"sqrt(sum_sq / {_AUDIO_N}) / 32768.0 AS rms, "
+    f"zero_crossings / {_AUDIO_N - 1} AS zcr FROM a"
+)
+
+
 def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 incremental combine as a batch merge: a 'state' snapshot (orders
     before the median date) FULL OUTER JOIN a 'delta' batch (the rest),
@@ -1244,6 +1319,7 @@ QUERIES: dict = {
     "schedule": (q_schedule, SQL_SCHEDULE),
     "sched_cogroup": (q_sched_cogroup, SQL_SCHED_COGROUP),
     "sched_cogroup_cuckoo": (q_sched_cogroup_cuckoo, SQL_SCHED_COGROUP),
+    "audio_gate": (q_audio_gate, SQL_AUDIO_GATE),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
