@@ -118,7 +118,10 @@ def main():
     lo, hi = 1, 4  # executors (x2 cores each) => N vs 4N
 
     if curve:
-        levels = [1, 4, 8]
+        # 2x2 sits inside the host's bus-headroom region, so the curve
+        # shows per-step efficiency through 4x2 with 8x2 kept as the
+        # documented single-host ceiling point (BASELINE.md)
+        levels = [1, 2, 4, 8]
         rounds, passes = 2, 2
         # one JSON line per (round, level); efficiency table at the end
         rows = []
@@ -142,6 +145,19 @@ def main():
             effs = [r[levels.index(n)]["frontier"]["urls_per_sec"]
                     / r[0]["frontier"]["urls_per_sec"] / n for r in rows]
             out[f"efficiency_frontier_{n}x"] = round(statistics.median(effs), 3)
+        # per-STEP efficiency between adjacent levels (the bar the curve
+        # is judged on: each doubling inside the bus-headroom region
+        # should hold >= 0.8; the last step documents the host ceiling)
+        for prev, n in zip(levels, levels[1:]):
+            effs = [
+                r[levels.index(n)]["frontier"]["urls_per_sec"]
+                / r[levels.index(prev)]["frontier"]["urls_per_sec"]
+                / (n / prev)
+                for r in rows
+            ]
+            out[f"efficiency_step_{prev}x_to_{n}x"] = round(
+                statistics.median(effs), 3
+            )
         print(json.dumps(out))
         return
 
