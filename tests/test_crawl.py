@@ -216,3 +216,26 @@ def test_resume_after_kill(spark, world, tmp_path_factory, crawled):
         a = {tuple(r) for r in cat.table(t).read(spark).collect()}
         b = {tuple(r) for r in cat_full.table(t).read(spark).collect()}
         assert a == b, t
+
+
+def test_crawl_with_compaction_identical(spark, world, tmp_path_factory, crawled):
+    """compact_every folds each mutating table's merge chain back to one
+    segment inside the epoch loop; the crawl outcome (frontier, seen,
+    uri_counts, fetch_log) must be byte-identical to the uncompacted run
+    and every mutating HEAD must actually be a compaction commit."""
+    corpus_pd, images_pd, robots_pd, seeds_pd, corpus, images, robots, seeds = world
+    cat_plain, _ = crawled
+    cat = Catalog(str(tmp_path_factory.mktemp("crawl_compact")))
+    cfg = crawl_cfg()
+    cfg.compact_every = 1
+    frontier_ops.run_crawl(
+        spark, cat, corpus, images, robots, seeds, N_EPOCHS, cfg
+    )
+    for t in ("frontier", "seen", "uri_counts", "fetch_log", "domain_counts"):
+        a = {tuple(r) for r in cat.table(t).read(spark).collect()}
+        b = {tuple(r) for r in cat_plain.table(t).read(spark).collect()}
+        assert a == b, t
+    for t in ("frontier", "uri_counts", "index_rows"):
+        man = cat.table(t).manifest()
+        assert man.get("compaction") is True, t
+        assert len(man["segments"]) == 1, t
