@@ -79,34 +79,80 @@ def apply_page_batch(spark: SparkSession, cat: Catalog, pages: DataFrame,
             )
         return tbl.read(spark, sid)
 
-    deltas = pages.withColumn("op", F.lit("put"))
+    # Same O(delta) discipline as frontier.run_epoch: every
+    # delta-vs-state join goes through a broadcast SEMI touched-slice
+    # (state scanned, never shuffled), every table commits mode="merge"
+    # (upsert rows + delete keys — batch-sized writes, never O(state)),
+    # index_rows is never even read, and each delta frame feeding both a
+    # slice and a merge is cut with an eager localCheckpoint (which also
+    # cuts the streaming lineage, as before).
+    from webindex_spark.functions.spark_udfs import uri_rev_domain_col
+    from webindex_spark.operators.index_batch import PAGE_SCHEMA
+
+    deltas = pages.withColumn("op", F.lit("put")).localCheckpoint(eager=True)
     index_pages_prev = _read_before("index_pages")
     uri_counts_prev = _read_before("uri_counts")
     domain_counts_prev = _read_before("domain_counts")
-    index_rows_prev = _read_before("index_rows")
 
-    index_pages_next, uri_deltas, mutations = delta_ops.diff_pages(
-        index_pages_prev, deltas
+    def touched(state: DataFrame, keys_df: DataFrame, key: str) -> DataFrame:
+        return state.join(F.broadcast(keys_df.select(key)), key, "left_semi")
+
+    _, uri_deltas, mutations = delta_ops.diff_pages(
+        touched(index_pages_prev, deltas, "uri"), deltas
     )
-    uri_counts_next, changes = delta_ops.merge_uri_counts(uri_counts_prev, uri_deltas)
-    changes = changes.localCheckpoint(eager=True)  # cut streaming lineage
-    domain_counts_next, domain_changes = delta_ops.merge_domain_counts(
-        domain_counts_prev, changes, with_changes=True
+    uri_deltas = uri_deltas.localCheckpoint(eager=True)
+    _, changes = delta_ops.merge_uri_counts(
+        touched(uri_counts_prev, uri_deltas, "uri"), uri_deltas
     )
-    index_rows_next = delta_ops.update_index_rows(
-        index_rows_prev, changes, domain_changes, mutations
+    changes = changes.localCheckpoint(eager=True)
+    touched_domains = changes.select(
+        uri_rev_domain_col("uri").alias("rev_domain")
+    ).distinct()
+    _, domain_changes = delta_ops.merge_domain_counts(
+        touched(domain_counts_prev, touched_domains, "rev_domain"),
+        changes, with_changes=True,
+    )
+    domain_changes = domain_changes.localCheckpoint(eager=True)
+    inserts, delete_keys = delta_ops.index_row_mutations(
+        changes, domain_changes, mutations
     )
     outputs = {
-        "index_pages": index_pages_next,
-        "uri_counts": uri_counts_next,
-        "domain_counts": domain_counts_next,
-        "index_rows": index_rows_next,
+        "index_pages": (
+            deltas.where(F.col("op") != "delete")
+            .select(*[f.name for f in PAGE_SCHEMA.fields]),
+            ["uri"],
+            deltas.where(F.col("op") == "delete").select("uri"),
+        ),
+        "uri_counts": (
+            changes.where(
+                (F.col("new_links") != 0) | (F.col("new_docs") != 0)
+            ).select(
+                "uri",
+                F.col("new_links").alias("links_to"),
+                F.col("new_docs").alias("docs"),
+            ),
+            ["uri"],
+            changes.where(
+                (F.col("new_links") == 0) & (F.col("new_docs") == 0)
+            ).select("uri"),
+        ),
+        "domain_counts": (
+            domain_changes.where(F.col("new_pagecount") != 0).select(
+                "rev_domain", F.col("new_pagecount").alias("pagecount")
+            ),
+            ["rev_domain"],
+            domain_changes.where(F.col("new_pagecount") == 0).select("rev_domain"),
+        ),
+        "index_rows": (inserts, ["row", "cf", "cq"], delete_keys),
     }
-    for name, df in outputs.items():
+    for name, (df, keys, dels) in outputs.items():
         t = cat.table(name)
         if _epoch(name) >= batch_id:
             continue
-        t.commit(df, epoch=batch_id, lineage={"stream_batch": batch_id})
+        t.commit(
+            df, epoch=batch_id, lineage={"stream_batch": batch_id},
+            mode="merge", merge_keys=keys, deletes=dels,
+        )
 
 
 def start_page_stream(spark: SparkSession, input_dir: str, cat: Catalog,
