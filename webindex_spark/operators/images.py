@@ -452,3 +452,56 @@ def phash_near_dups(
         F.col(id_col).alias("id"), F.col(phash_col).alias("simhash")
     )
     return dedup.simhash_near_pairs(sig, max_hamming=max_hamming, blocks=blocks)
+
+
+GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("gray_sum", T.LongType()),
+        T.StructField("iphash", T.LongType()),
+    ]
+)
+
+
+def gate_features(images: DataFrame) -> DataFrame:
+    """Per-row pixel-integrity descriptor through the SAME decode +
+    mapInPandas plumbing as verify_images, reduced to INTEGER-EXACT
+    values a SQL oracle can recompute from the raw pixel ints: total
+    channel sum, gray1000 sum (299R + 587G + 114B — the production
+    grayscale weights times 1000, so no float dot product), and an
+    integer 8x8 average hash.  The hash compares 64·block_sum against
+    the total gray sum (equal block areas ⇒ identical bits to a
+    mean-threshold over block means, with no float rounding), packed
+    into a signed int64 via two 32-bit halves — the same arithmetic on
+    both engines.  Requires w and h multiples of 8.  The production
+    float `average_phash` stays pytest-locked; this gate certifies the
+    DECODE path (including the real PNG/zlib codec) and per-row pixel
+    integrity by value hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ps, gs, hs = [], [], []
+            for r in pdf.itertuples():
+                px = decode(r.bytes, int(r.w), int(r.h), r.fmt).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                ps.append(int(px.sum()))
+                gray = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                gs.append(int(gray.sum()))
+                bsum = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                bits = (64 * bsum >= gray.sum()).flatten()
+                hi = lo = 0
+                for k in range(32):
+                    hi |= int(bits[k]) << (31 - k)
+                    lo |= int(bits[32 + k]) << (31 - k)
+                hs.append((hi - ((1 << 32) if hi >= (1 << 31) else 0)) * (1 << 32) + lo)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "pix_sum": np.asarray(ps, dtype=np.int64),
+                    "gray_sum": np.asarray(gs, dtype=np.int64),
+                    "iphash": np.asarray(hs, dtype=np.int64),
+                }
+            )
+
+    return images.mapInPandas(run, schema=GATE_SCHEMA)

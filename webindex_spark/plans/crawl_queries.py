@@ -434,6 +434,89 @@ SQL_AUDIO_GATE = (
 )
 
 
+_IMG_W = _IMG_H = 16  # multiples of 8 (the gate's 8x8 block hash)
+
+
+def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row image-payload integrity under a full value-hash oracle —
+    the north rule's decoded-pixel invariant on the driver's own
+    tables: deterministic 16x16 RGB pixels are synthesized per doc_id
+    by the same pure-integer recurrence family as audio_gate, encoded
+    through the REAL codec (PNG/zlib for even doc_ids — exercising
+    png_encode/png_decode inside the oracle-verified path — raw for
+    odd), then decoded and reduced THROUGH the production mapInPandas
+    plumbing (operators/images.gate_features) to integer-exact channel
+    sums, gray1000 sums, and the integer 8x8 average hash.  DuckDB
+    recomputes everything from the raw pixel integers."""
+    from webindex_spark.operators import images as img_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w, h = _IMG_W, _IMG_H
+    n = w * h * 3
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"].to_numpy():
+                h0 = (int(did) * 1103515245 + 12345) % _M31
+                v = (((h0 + t * 2654435761) % _M31) * 48271) % _M31 % 256
+                px = v.astype(np.uint8).reshape(h, w, 3)
+                fmt = "png" if did % 2 == 0 else "raw"
+                rows["image_id"].append(f"i{did}")
+                rows["bytes"].append(img_ops.encode(px, fmt))
+                rows["fmt"].append(fmt)
+            out = pd.DataFrame(rows)
+            out["w"] = np.int32(w)
+            out["h"] = np.int32(h)
+            yield out
+
+    images = docs.mapInPandas(
+        synth,
+        schema="image_id string, bytes binary, fmt string, w int, h int",
+    )
+    return img_ops.gate_features(images).select(
+        "image_id", "pix_sum", "gray_sum", "iphash"
+    )
+
+
+def _sql_image_gate() -> str:
+    w, h, n = _IMG_W, _IMG_H, _IMG_W * _IMG_H * 3
+    return (
+        f"WITH v AS (SELECT doc_id, t, "
+        f"((((doc_id * 1103515245 + 12345) % {_M31} + t * 2654435761) % {_M31}) "
+        f"* 48271) % {_M31} % 256 AS v "
+        f"FROM documents, range(0, {n}) r(t)), "
+        "px AS (SELECT doc_id, t // 3 AS p, "
+        "SUM(CASE t % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v "
+        "ELSE 114 * v END) AS gray, SUM(v) AS cs "
+        "FROM v GROUP BY doc_id, t // 3), "
+        f"blocks AS (SELECT doc_id, "
+        f"((p // {w}) * 8 // {h}) * 8 + ((p % {w}) * 8 // {w}) AS k, "
+        "SUM(gray) AS bsum, SUM(cs) AS csum FROM px GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS pix_sum, "
+        "CAST(SUM(bsum) AS BIGINT) AS gray_sum FROM blocks GROUP BY doc_id), "
+        "bits AS (SELECT b.doc_id, b.k, CASE WHEN 64 * b.bsum >= a.gray_sum "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit "
+        "FROM blocks b JOIN agg a USING (doc_id)), "
+        "hl AS (SELECT doc_id, "
+        "CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) "
+        "ELSE 0 END) AS BIGINT) AS hi, "
+        "CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) "
+        "ELSE 0 END) AS BIGINT) AS lo FROM bits GROUP BY doc_id) "
+        "SELECT 'i' || CAST(a.doc_id AS VARCHAR) AS image_id, a.pix_sum, "
+        "a.gray_sum, (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 "
+        "ELSE 0 END) * 4294967296 + lo AS iphash "
+        "FROM hl JOIN agg a USING (doc_id)"
+    )
+
+
+SQL_IMAGE_GATE = _sql_image_gate()
+
+
 def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 incremental combine as a batch merge: a 'state' snapshot (orders
     before the median date) FULL OUTER JOIN a 'delta' batch (the rest),
@@ -1320,6 +1403,7 @@ QUERIES: dict = {
     "sched_cogroup": (q_sched_cogroup, SQL_SCHED_COGROUP),
     "sched_cogroup_cuckoo": (q_sched_cogroup_cuckoo, SQL_SCHED_COGROUP),
     "audio_gate": (q_audio_gate, SQL_AUDIO_GATE),
+    "image_gate": (q_image_gate, SQL_IMAGE_GATE),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
