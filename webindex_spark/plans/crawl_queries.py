@@ -517,6 +517,100 @@ def _sql_image_gate() -> str:
 SQL_IMAGE_GATE = _sql_image_gate()
 
 
+_VID_FRAMES, _VID_EVERY = 8, 3  # sampled frame indices: 0, 3, 6
+
+
+def q_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video lane end-to-end under the oracle: a deterministic
+    8-frame 16x16 rawv clip per doc_id (same integer-recurrence family
+    as image_gate, different seed), run through the PRODUCTION
+    ``sample_frames`` operator (frame extraction + PNG re-encode, one
+    row per sampled index 0/3/6) and then the same ``gate_features``
+    pixel-hash kernel — so frame slicing, the PNG/zlib transcode, AND
+    the decode path are all inside the value-hash-verified pipeline.
+    DuckDB recomputes per sampled frame from the raw pixel integers."""
+    from webindex_spark.operators import images as img_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w, h = _IMG_W, _IMG_H
+    frame_n = w * h * 3
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        u = np.arange(_VID_FRAMES * frame_n, dtype=np.int64)
+        for pdf in batches:
+            rows = {"video_id": [], "bytes": []}
+            for did in pdf["doc_id"].to_numpy():
+                h0 = (int(did) * 2862933555 + 777) % _M31
+                v = (((h0 + u * 2654435761) % _M31) * 48271) % _M31 % 256
+                rows["video_id"].append(f"v{did}")
+                rows["bytes"].append(v.astype(np.uint8).tobytes())
+            out = pd.DataFrame(rows)
+            out["w"] = np.int32(w)
+            out["h"] = np.int32(h)
+            out["n_frames"] = np.int32(_VID_FRAMES)
+            out["fmt"] = "rawv"
+            yield out
+
+    videos = docs.mapInPandas(
+        synth,
+        schema=(
+            "video_id string, bytes binary, w int, h int, "
+            "n_frames int, fmt string"
+        ),
+    )
+    frames = img_ops.sample_frames(videos, every=_VID_EVERY, out_fmt="png")
+    gate_in = frames.select(
+        F.concat_ws(
+            ":", "video_id", F.col("frame_idx").cast("string")
+        ).alias("image_id"),
+        "bytes", "w", "h", "fmt",
+    )
+    return img_ops.gate_features(gate_in).select(
+        "image_id", "pix_sum", "gray_sum", "iphash"
+    )
+
+
+def _sql_video_gate() -> str:
+    w, h, frame_n = _IMG_W, _IMG_H, _IMG_W * _IMG_H * 3
+    return (
+        f"WITH v AS (SELECT doc_id, fi, t, "
+        f"((((doc_id * 2862933555 + 777) % {_M31} "
+        f"+ (fi * {frame_n} + t) * 2654435761) % {_M31}) "
+        f"* 48271) % {_M31} % 256 AS v "
+        f"FROM documents, range(0, {_VID_FRAMES}) f(fi), "
+        f"range(0, {frame_n}) r(t) WHERE fi % {_VID_EVERY} = 0), "
+        "px AS (SELECT doc_id, fi, t // 3 AS p, "
+        "SUM(CASE t % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v "
+        "ELSE 114 * v END) AS gray, SUM(v) AS cs "
+        "FROM v GROUP BY doc_id, fi, t // 3), "
+        f"blocks AS (SELECT doc_id, fi, "
+        f"((p // {w}) * 8 // {h}) * 8 + ((p % {w}) * 8 // {w}) AS k, "
+        "SUM(gray) AS bsum, SUM(cs) AS csum FROM px GROUP BY 1, 2, 3), "
+        "agg AS (SELECT doc_id, fi, CAST(SUM(csum) AS BIGINT) AS pix_sum, "
+        "CAST(SUM(bsum) AS BIGINT) AS gray_sum FROM blocks GROUP BY 1, 2), "
+        "bits AS (SELECT b.doc_id, b.fi, b.k, "
+        "CASE WHEN 64 * b.bsum >= a.gray_sum THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS bit "
+        "FROM blocks b JOIN agg a USING (doc_id, fi)), "
+        "hl AS (SELECT doc_id, fi, "
+        "CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) "
+        "ELSE 0 END) AS BIGINT) AS hi, "
+        "CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) "
+        "ELSE 0 END) AS BIGINT) AS lo FROM bits GROUP BY 1, 2) "
+        "SELECT 'v' || CAST(a.doc_id AS VARCHAR) || ':' || "
+        "CAST(a.fi AS VARCHAR) AS image_id, a.pix_sum, a.gray_sum, "
+        "(hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END) "
+        "* 4294967296 + lo AS iphash "
+        "FROM hl JOIN agg a USING (doc_id, fi)"
+    )
+
+
+SQL_VIDEO_GATE = _sql_video_gate()
+
+
 def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 incremental combine as a batch merge: a 'state' snapshot (orders
     before the median date) FULL OUTER JOIN a 'delta' batch (the rest),
@@ -1404,6 +1498,7 @@ QUERIES: dict = {
     "sched_cogroup_cuckoo": (q_sched_cogroup_cuckoo, SQL_SCHED_COGROUP),
     "audio_gate": (q_audio_gate, SQL_AUDIO_GATE),
     "image_gate": (q_image_gate, SQL_IMAGE_GATE),
+    "video_gate": (q_video_gate, SQL_VIDEO_GATE),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
