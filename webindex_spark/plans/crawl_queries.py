@@ -1010,38 +1010,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by (doc, gh) — linear and shuffle-parallel.  62-bit keys make a
     # collision perturbing a Jaccard count negligible, and the DuckDB
     # twin composes the identical keys.
-    g = (
+    # ONE corpus-sized shuffle (the collect_set groupBy); the distinct,
+    # the exploded self-join, and the size aggregate of the previous plan
+    # all collapse into JVM array ops over the per-doc gram-set arrays
+    # (array_intersect over ~160-element long arrays per pair).  Two
+    # consumers (both join sides) -> eager checkpoint of the ~16-byte/gram
+    # sets instead of re-running tokenize/hash/compose.
+    sets = (
         exploded_ngram_hashes(docs, "doc_id", "text", 3, ph.phash62, ph.compose62)
-        .select(F.col("id").alias("doc_id"), "gh")
-        .distinct()
-        # three consumers (sizes + both self-join sides): materialize the
-        # ~16-byte-per-row gram set once instead of re-running the
-        # tokenize/hash/window pipeline per consumer
+        .groupBy(F.col("id"))
+        .agg(F.collect_set("gh").alias("ghs"))
         .localCheckpoint(eager=True)
     )
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-            & (F.col("a.gh") == F.col("b.gh")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pair = sets.join(
+        sets.select(
+            (F.col("id") - 1).alias("id"),
+            F.col("id").alias("id_b"),
+            F.col("ghs").alias("ghs_b"),
+        ),
+        "id",
     )
-    a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    b = sizes.select((F.col("doc_id") - 1).alias("id_a"),
-                     F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        a.join(b, "id_a")
-        .join(inter, "id_a", "left")
-        .select(
-            "id_a", "id_b",
-            (F.coalesce("n_inter", F.lit(0))
-             / (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_inter", F.lit(0))))
-            .cast("double").alias("jaccard"),
-        )
+    ni = F.size(F.array_intersect(F.col("ghs"), F.col("ghs_b"))).cast("long")
+    return pair.select(
+        F.col("id").alias("id_a"),
+        "id_b",
+        (ni / (F.size("ghs") + F.size("ghs_b") - ni))
+        .cast("double").alias("jaccard"),
     )
 
 
