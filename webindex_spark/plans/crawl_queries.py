@@ -363,6 +363,41 @@ _AUDIO_N = 512          # samples per synthesized clip
 _M31 = 1 << 31
 
 
+def _synth_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCM16 clip per doc_id (pure-integer recurrence —
+    portable to the DuckDB oracle), as a full audio-table row set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = _AUDIO_N
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            rows = {"audio_id": [], "bytes": []}
+            for did in pdf["doc_id"].to_numpy():
+                h = (int(did) * 2654435761) % _M31
+                x = (h + i * 1103515245) % _M31
+                s = ((x * 48271) % _M31) % 65536 - 32768
+                rows["audio_id"].append(f"a{did}")
+                rows["bytes"].append(s.astype("<i2").tobytes())
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = np.int32(8000)
+            out["n_samples"] = np.int32(n)
+            out["fmt"] = "rawa"
+            out["caption"] = ""
+            yield out
+
+    return docs.mapInPandas(
+        synth,
+        schema=(
+            "audio_id string, bytes binary, sample_rate int, "
+            "n_samples int, fmt string, caption string"
+        ),
+    )
+
+
 def q_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio lane's Spark path under a full value-hash oracle: a
     deterministic PCM16 clip is synthesized per doc_id by a pure-integer
@@ -376,37 +411,8 @@ def q_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-oracled (operators/audio.clip_features)."""
     from webindex_spark.operators import audio as audio_ops
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = audio_ops.gate_features(_synth_audio(spark, sf_dir))
     n = _AUDIO_N
-
-    def synth(batches):
-        import numpy as np
-        import pandas as pd
-
-        i = np.arange(n, dtype=np.int64)
-        for pdf in batches:
-            ids = pdf["doc_id"].to_numpy()
-            rows = {"audio_id": [], "bytes": []}
-            for did in ids:
-                h = (int(did) * 2654435761) % _M31
-                x = (h + i * 1103515245) % _M31
-                s = ((x * 48271) % _M31) % 65536 - 32768
-                rows["audio_id"].append(f"a{did}")
-                rows["bytes"].append(s.astype("<i2").tobytes())
-            out = pd.DataFrame(rows)
-            out["sample_rate"] = np.int32(8000)
-            out["n_samples"] = np.int32(n)
-            out["fmt"] = "rawa"
-            yield out
-
-    audio = docs.mapInPandas(
-        synth,
-        schema=(
-            "audio_id string, bytes binary, sample_rate int, "
-            "n_samples int, fmt string"
-        ),
-    )
-    g = audio_ops.gate_features(audio)
     return g.select(
         "audio_id",
         "sum_sq",
@@ -431,6 +437,47 @@ SQL_AUDIO_GATE = (
     "zero_crossings, "
     f"sqrt(sum_sq / {_AUDIO_N}) / 32768.0 AS rms, "
     f"zero_crossings / {_AUDIO_N - 1} AS zcr FROM a"
+)
+
+
+def q_resample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resample operator inside the value-hash gate: the synthesized
+    8 kHz clips run through the PRODUCTION ``resample_audio`` (decode ->
+    linear-interpolation kernel -> PCM16 re-encode) at exactly half
+    rate, where the interpolation grid lands on integer sample
+    positions — so the output samples are the even-index input integers
+    EXACTLY (np.interp at knots + lossless codec round-trip), and the
+    same RMS/ZCR reduction stays integer-exact.  DuckDB recomputes over
+    the even-index subsequence of the recurrence."""
+    from webindex_spark.operators import audio as audio_ops
+
+    res = audio_ops.resample_audio(_synth_audio(spark, sf_dir), to_sr=4000)
+    n = _AUDIO_N // 2
+    g = audio_ops.gate_features(res)
+    return g.select(
+        "audio_id",
+        "sum_sq",
+        "zero_crossings",
+        (F.sqrt(F.col("sum_sq") / F.lit(n)) / F.lit(32768.0)).alias("rms"),
+        (F.col("zero_crossings") / F.lit(n - 1)).alias("zcr"),
+    )
+
+
+SQL_RESAMPLE_GATE = (
+    f"WITH s AS (SELECT doc_id, j, "
+    f"(((((doc_id * 2654435761) % {_M31}) + (2 * j) * 1103515245) % {_M31}) "
+    f"* 48271) % {_M31} % 65536 - 32768 AS smp "
+    f"FROM documents, range(0, {_AUDIO_N // 2}) t(j)), "
+    "p AS (SELECT doc_id, smp, "
+    "LAG(smp) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM s), "
+    "a AS (SELECT doc_id, CAST(SUM(smp * smp) AS BIGINT) AS sum_sq, "
+    "CAST(SUM(CASE WHEN prev IS NOT NULL AND ((smp < 0) != (prev < 0)) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings "
+    "FROM p GROUP BY doc_id) "
+    "SELECT 'a' || CAST(doc_id AS VARCHAR) AS audio_id, sum_sq, "
+    "zero_crossings, "
+    f"sqrt(sum_sq / {_AUDIO_N // 2}) / 32768.0 AS rms, "
+    f"zero_crossings / {_AUDIO_N // 2 - 1} AS zcr FROM a"
 )
 
 
@@ -1493,6 +1540,7 @@ QUERIES: dict = {
     "audio_gate": (q_audio_gate, SQL_AUDIO_GATE),
     "image_gate": (q_image_gate, SQL_IMAGE_GATE),
     "video_gate": (q_video_gate, SQL_VIDEO_GATE),
+    "resample_gate": (q_resample_gate, SQL_RESAMPLE_GATE),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
