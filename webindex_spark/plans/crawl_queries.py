@@ -484,17 +484,10 @@ SQL_RESAMPLE_GATE = (
 _IMG_W = _IMG_H = 16  # multiples of 8 (the gate's 8x8 block hash)
 
 
-def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row image-payload integrity under a full value-hash oracle —
-    the north rule's decoded-pixel invariant on the driver's own
-    tables: deterministic 16x16 RGB pixels are synthesized per doc_id
-    by the same pure-integer recurrence family as audio_gate, encoded
-    through the REAL codec (PNG/zlib for even doc_ids — exercising
-    png_encode/png_decode inside the oracle-verified path — raw for
-    odd), then decoded and reduced THROUGH the production mapInPandas
-    plumbing (operators/images.gate_features) to integer-exact channel
-    sums, gray1000 sums, and the integer 8x8 average hash.  DuckDB
-    recomputes everything from the raw pixel integers."""
+def _synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16x16 RGB image per doc_id (pure-integer recurrence)
+    as full image-table rows; even doc_ids go through the REAL PNG/zlib
+    codec, odd ones raw."""
     from webindex_spark.operators import images as img_ops
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -519,13 +512,32 @@ def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pd.DataFrame(rows)
             out["w"] = np.int32(w)
             out["h"] = np.int32(h)
+            out["caption"] = ""
             yield out
 
-    images = docs.mapInPandas(
+    return docs.mapInPandas(
         synth,
-        schema="image_id string, bytes binary, fmt string, w int, h int",
+        schema=(
+            "image_id string, bytes binary, fmt string, w int, h int, "
+            "caption string"
+        ),
     )
-    return img_ops.gate_features(images).select(
+
+
+def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row image-payload integrity under a full value-hash oracle —
+    the north rule's decoded-pixel invariant on the driver's own
+    tables: deterministic 16x16 RGB pixels are synthesized per doc_id
+    by the same pure-integer recurrence family as audio_gate, encoded
+    through the REAL codec (PNG/zlib for even doc_ids — exercising
+    png_encode/png_decode inside the oracle-verified path — raw for
+    odd), then decoded and reduced THROUGH the production mapInPandas
+    plumbing (operators/images.gate_features) to integer-exact channel
+    sums, gray1000 sums, and the integer 8x8 average hash.  DuckDB
+    recomputes everything from the raw pixel integers."""
+    from webindex_spark.operators import images as img_ops
+
+    return img_ops.gate_features(_synth_images(spark, sf_dir)).select(
         "image_id", "pix_sum", "gray_sum", "iphash"
     )
 
@@ -562,6 +574,69 @@ def _sql_image_gate() -> str:
 
 
 SQL_IMAGE_GATE = _sql_image_gate()
+
+
+def q_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bilinear resizer inside the value-hash gate: the 16x16 clips
+    run through the PRODUCTION ``resize_images`` (decode -> bilinear
+    kernel -> PNG re-encode) at exactly 2:1, where half-pixel-center
+    sampling puts every tap at fx = fy = 0.5 — each output channel is
+    round_half_to_even((p00+p01+p10+p11)/4), an exact integer function
+    of the four source ints that DuckDB reproduces with a v4%4 CASE
+    (banker's rounding emulated on the .5 residue).  The resized 8x8
+    image then feeds the same pixel-hash kernel (blocks degenerate to
+    single pixels)."""
+    from webindex_spark.operators import images as img_ops
+
+    resized = img_ops.resize_images(
+        _synth_images(spark, sf_dir), _IMG_W // 2, _IMG_H // 2,
+        method="bilinear", out_fmt="png",
+    )
+    return img_ops.gate_features(resized).select(
+        "image_id", "pix_sum", "gray_sum", "iphash"
+    )
+
+
+def _sql_resize_gate() -> str:
+    w, h, n = _IMG_W, _IMG_H, _IMG_W * _IMG_H * 3
+    ow = w // 2
+    return (
+        f"WITH v AS (SELECT doc_id, t, "
+        f"((((doc_id * 1103515245 + 12345) % {_M31} + t * 2654435761) % {_M31}) "
+        f"* 48271) % {_M31} % 256 AS v "
+        f"FROM documents, range(0, {n}) r(t)), "
+        # 2x2 source taps -> one output pixel per channel; banker's
+        # rounding on the exact .5 residue (np.rint parity)
+        f"q AS (SELECT doc_id, "
+        f"(((t // 3) // {w}) // 2) * {ow} + (((t // 3) % {w}) // 2) AS op, "
+        "t % 3 AS c, SUM(v) AS v4 FROM v GROUP BY 1, 2, 3), "
+        "rp AS (SELECT doc_id, op, c, v4 // 4 + CASE WHEN v4 % 4 = 3 THEN 1 "
+        "WHEN v4 % 4 = 2 AND (v4 // 4) % 2 = 1 THEN 1 ELSE 0 END AS rv "
+        "FROM q), "
+        "px AS (SELECT doc_id, op, "
+        "SUM(CASE c WHEN 0 THEN 299 * rv WHEN 1 THEN 587 * rv "
+        "ELSE 114 * rv END) AS gray, SUM(rv) AS cs "
+        "FROM rp GROUP BY doc_id, op), "
+        "agg AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS pix_sum, "
+        "CAST(SUM(gray) AS BIGINT) AS gray_sum FROM px GROUP BY doc_id), "
+        # 8x8 output: each hash block IS one pixel (k = op, row-major)
+        "bits AS (SELECT p.doc_id, p.op AS k, "
+        "CASE WHEN 64 * p.gray >= a.gray_sum THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS bit "
+        "FROM px p JOIN agg a USING (doc_id)), "
+        "hl AS (SELECT doc_id, "
+        "CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) "
+        "ELSE 0 END) AS BIGINT) AS hi, "
+        "CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) "
+        "ELSE 0 END) AS BIGINT) AS lo FROM bits GROUP BY doc_id) "
+        "SELECT 'i' || CAST(a.doc_id AS VARCHAR) AS image_id, a.pix_sum, "
+        "a.gray_sum, (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 "
+        "ELSE 0 END) * 4294967296 + lo AS iphash "
+        "FROM hl JOIN agg a USING (doc_id)"
+    )
+
+
+SQL_RESIZE_GATE = _sql_resize_gate()
 
 
 _VID_FRAMES, _VID_EVERY = 8, 3  # sampled frame indices: 0, 3, 6
@@ -1541,6 +1616,7 @@ QUERIES: dict = {
     "image_gate": (q_image_gate, SQL_IMAGE_GATE),
     "video_gate": (q_video_gate, SQL_VIDEO_GATE),
     "resample_gate": (q_resample_gate, SQL_RESAMPLE_GATE),
+    "resize_gate": (q_resize_gate, SQL_RESIZE_GATE),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
