@@ -733,6 +733,96 @@ def _sql_video_gate() -> str:
 SQL_VIDEO_GATE = _sql_video_gate()
 
 
+# Per-host robots.txt template families for the REP gate (t = host_k % 4).
+# Together they exercise: exact-agent vs * group selection, an ignored
+# foreign-agent group, longest-match precedence, Allow-wins-length-ties,
+# mid-pattern '*' wildcards, '$' end anchors, per-group crawl-delay and
+# the default delay.
+_ROBOTS_TEMPLATES = [
+    "User-agent: *\nDisallow: /private/\nAllow: /private/p\n"
+    "Disallow: /private/*\nCrawl-delay: 2\n",
+    "User-agent: *\nDisallow: /e/\nAllow: /e/1*\nDisallow: *.png$\n",
+    "User-agent: other\nDisallow: /\n\n"
+    "User-agent: *\nDisallow: /img/*9\nCrawl-delay: 1.5\n",
+    "User-agent: webindex\nAllow: /e/\nDisallow: /\nCrawl-delay: 0.5\n\n"
+    "User-agent: *\nDisallow: /docs/\n",
+]
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL RFC 9309 matcher under a value-hash oracle: literal
+    robots.txt bodies (the template families above) run through the
+    production parser (``parse_robots_txt`` mapInPandas — group
+    selection, rule extraction, delays) and the production JVM matcher
+    (``apply_robots_rules`` — regexp_like filter + array_max
+    longest-match/Allow-ties precedence) over five path shapes derived
+    from the events table.  The DuckDB twin replays the templates'
+    EFFECTIVE rule lists as literals (the knn_lsh plane-replay pattern)
+    with LIKE-pattern matching and a window for precedence."""
+    from webindex_spark.operators import robots as robots_ops
+
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("/e/"), F.lit("/img/"), F.lit("/private/p"),
+                    F.lit("/private/q"), F.lit("/docs/d"),
+                ),
+                (F.col("event_id") % 5).cast("int") + 1,
+            ),
+            F.col("event_id").cast("string"),
+            F.when(F.col("event_id") % 5 == 1, F.lit(".png")).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    bodies = spark.createDataFrame(
+        [(f"h{k}", _ROBOTS_TEMPLATES[k % 4]) for k in range(20)],
+        "host string, robots_txt string",
+    )
+    parsed = robots_ops.parse_robots_txt(bodies, agent="webindex")
+    out = robots_ops.apply_robots_rules(cand, parsed)
+    return out.select(
+        "uri", "host", "allowed", F.col("crawl_delay").cast("double").alias("crawl_delay")
+    )
+
+
+SQL_ROBOTS_GATE = (
+    "WITH cand AS (SELECT 'e' || CAST(event_id AS VARCHAR) AS uri, "
+    "'h' || CAST(user_id % 20 AS VARCHAR) AS host, "
+    "CAST((user_id % 20) % 4 AS INT) AS t, "
+    "CASE CAST(event_id % 5 AS INT) "
+    "WHEN 0 THEN '/e/' || CAST(event_id AS VARCHAR) "
+    "WHEN 1 THEN '/img/' || CAST(event_id AS VARCHAR) || '.png' "
+    "WHEN 2 THEN '/private/p' || CAST(event_id AS VARCHAR) "
+    "WHEN 3 THEN '/private/q' || CAST(event_id AS VARCHAR) "
+    "ELSE '/docs/d' || CAST(event_id AS VARCHAR) END AS path FROM events), "
+    # effective per-template rules: (t, pattern_len, allow, LIKE body,
+    # anchored).  plen counts the raw pattern chars incl. '*' and '$'.
+    "rules(t, plen, allow, pat, anchored) AS (VALUES "
+    "(0,  9, FALSE, '/private/', FALSE), "
+    "(0, 10, TRUE,  '/private/p', FALSE), "
+    "(0, 10, FALSE, '/private/%', FALSE), "
+    "(1,  3, FALSE, '/e/', FALSE), "
+    "(1,  5, TRUE,  '/e/1%', FALSE), "
+    "(1,  6, FALSE, '%.png', TRUE), "
+    "(2,  7, FALSE, '/img/%9', FALSE), "
+    "(3,  3, TRUE,  '/e/', FALSE), "
+    "(3,  1, FALSE, '/', FALSE)), "
+    "m AS (SELECT c.uri, r.plen, r.allow FROM cand c JOIN rules r "
+    "ON r.t = c.t AND (CASE WHEN r.anchored THEN c.path LIKE r.pat "
+    "ELSE c.path LIKE r.pat || '%' END)), "
+    "best AS (SELECT uri, allow, ROW_NUMBER() OVER (PARTITION BY uri "
+    "ORDER BY plen DESC, allow DESC) AS rn FROM m) "
+    "SELECT c.uri, c.host, COALESCE(b.allow, TRUE) AS allowed, "
+    "CAST(CASE c.t WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 WHEN 2 THEN 1.5 "
+    "ELSE 0.5 END AS DOUBLE) AS crawl_delay "
+    "FROM cand c LEFT JOIN (SELECT uri, allow FROM best WHERE rn = 1) b "
+    "USING (uri)"
+)
+
+
 def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 incremental combine as a batch merge: a 'state' snapshot (orders
     before the median date) FULL OUTER JOIN a 'delta' batch (the rest),
@@ -1617,6 +1707,7 @@ QUERIES: dict = {
     "video_gate": (q_video_gate, SQL_VIDEO_GATE),
     "resample_gate": (q_resample_gate, SQL_RESAMPLE_GATE),
     "resize_gate": (q_resize_gate, SQL_RESIZE_GATE),
+    "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
