@@ -823,6 +823,57 @@ SQL_ROBOTS_GATE = (
 )
 
 
+def q_rank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/F9 rank-key parity under the oracle: the production
+    ``delta._uri_rows`` generator (the exact t:/d:/p: rows the
+    incremental engine exports, IndexClient.genUriData semantics) over
+    the production uri_counts, with the reverse-lexicoder sort key
+    (``rev_encode``) recomputed in SQL byte-for-byte — the escape +
+    complement + terminator algebra expressed as hex CASE arms for the
+    1- and 2-byte bodies (links_to ≤ 65535 here; the python golden
+    vectors cover the full 8-byte range)."""
+    from webindex_spark.operators import delta as delta_ops
+
+    # three consumers (the t/d/p union branches): materialize the counts
+    # once instead of re-running the uri_counts aggregation per branch
+    uc = uri_counts_df(spark, sf_dir).localCheckpoint(eager=True)
+    return delta_ops._uri_rows(uc, "links_to", "docs")
+
+
+def _sql_rev_encode(col: str) -> str:
+    def eb(x: str) -> str:
+        return (
+            f"(CASE WHEN {x} = 0 THEN 'fefe' WHEN {x} = 1 THEN 'fefd' "
+            f"ELSE printf('%02x', 255 - {x}) END)"
+        )
+
+    return (
+        f"(CASE WHEN {col} = 0 THEN 'fefeff' "
+        f"WHEN {col} <= 255 THEN 'fefd' || {eb(col)} || 'ff' "
+        f"ELSE 'fd' || {eb(f'({col} // 256)')} || {eb(f'({col} % 256)')} "
+        "|| 'ff' END)"
+    )
+
+
+def _sql_rank_rows() -> str:
+    enc = _sql_rev_encode("links_to")
+    return (
+        f"WITH uc AS ({_SQL_URI_COUNTS}), "
+        f"nz AS (SELECT uri, links_to, {enc} AS enc, "
+        "split_part(uri, '>', 1) AS rev_domain FROM uc "
+        "WHERE links_to != 0 OR docs != 0) "
+        "SELECT 't:' || enc || ':' || uri AS row, '' AS cf, '' AS cq, "
+        "CAST(links_to AS VARCHAR) AS v FROM nz "
+        "UNION ALL SELECT 'd:' || rev_domain || ':' || enc || ':' || uri, "
+        "'rank', '', CAST(links_to AS VARCHAR) FROM nz "
+        "UNION ALL SELECT 'p:' || uri, 'page', 'incount', "
+        "CAST(links_to AS VARCHAR) FROM nz"
+    )
+
+
+SQL_RANK_ROWS = _sql_rank_rows()
+
+
 def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 incremental combine as a batch merge: a 'state' snapshot (orders
     before the median date) FULL OUTER JOIN a 'delta' batch (the rest),
@@ -1708,6 +1759,7 @@ QUERIES: dict = {
     "resample_gate": (q_resample_gate, SQL_RESAMPLE_GATE),
     "resize_gate": (q_resize_gate, SQL_RESIZE_GATE),
     "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
+    "rank_rows": (q_rank_rows, SQL_RANK_ROWS),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
