@@ -363,10 +363,22 @@ _AUDIO_N = 512          # samples per synthesized clip
 _M31 = 1 << 31
 
 
+def _gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids spread across the session's full parallelism: the
+    multimodal gates are Python-codec-bound (zlib/PNG per row), and the
+    documents parquet arrives in a handful of input splits — without the
+    repartition the mapInPandas kernels run on 1-2 cores."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _synth_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PCM16 clip per doc_id (pure-integer recurrence —
     portable to the DuckDB oracle), as a full audio-table row set."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _gate_docs(spark, sf_dir)
     n = _AUDIO_N
 
     def synth(batches):
@@ -490,7 +502,7 @@ def _synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec, odd ones raw."""
     from webindex_spark.operators import images as img_ops
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _gate_docs(spark, sf_dir)
     w, h = _IMG_W, _IMG_H
     n = w * h * 3
 
@@ -653,7 +665,7 @@ def q_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recomputes per sampled frame from the raw pixel integers."""
     from webindex_spark.operators import images as img_ops
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _gate_docs(spark, sf_dir)
     w, h = _IMG_W, _IMG_H
     frame_n = w * h * 3
 
