@@ -317,6 +317,38 @@ def _run_sched_cogroup(spark, sf_dir, filter_kind: str) -> DataFrame:
     )
 
 
+def q_unseen_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-tier unseen filter through the BROADCAST regime's JVM
+    probe: a small Bloom (under the broadcast cap) probed with pure
+    Catalyst expressions (element_at + shifts in whole-stage codegen,
+    seen._bloom_probe_jvm), fresh rows passing free and the maybe slice
+    taking the exact anti-join.  The filter tier is semantically
+    invisible (no false negatives + exact tier), so the oracle is the
+    plain NOT IN — which is exactly the property this gate certifies
+    for the JVM-expression probe path (the cogroup kernel path is
+    certified by sched_cogroup)."""
+    from webindex_spark.operators import seen as seen_ops
+
+    cand, _robots, seen = _sched_world(spark, sf_dir)
+    n_parts, bits, k = seen_ops.bloom_params(5_000, 0.01, 8)
+    bloom = seen_ops.bloom_insert(
+        seen.select("uri"), seen_ops.empty_bloom(spark, n_parts, bits),
+        "uri", k, bits, n_parts,
+    )
+    out = seen_ops.filter_unseen(
+        cand, seen.select("uri"), bloom, "uri",
+        k=k, bits=bits, n_partitions=n_parts,
+    )
+    return out.select("uri", "host", "priority")
+
+
+SQL_UNSEEN_TWO_TIER = (
+    "SELECT 'e' || CAST(event_id AS VARCHAR) AS uri, "
+    "'h' || CAST(user_id % 20 AS VARCHAR) AS host, value AS priority "
+    "FROM events WHERE event_id % 4 != 0"
+)
+
+
 def q_sched_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FUSED 10^10-regime scheduling plan end-to-end through the
     production operator (sched_pipeline.schedule_frontier with the
@@ -1772,6 +1804,7 @@ QUERIES: dict = {
     "resize_gate": (q_resize_gate, SQL_RESIZE_GATE),
     "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "rank_rows": (q_rank_rows, SQL_RANK_ROWS),
+    "unseen_two_tier": (q_unseen_two_tier, SQL_UNSEEN_TWO_TIER),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
