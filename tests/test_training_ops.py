@@ -85,6 +85,44 @@ def test_simhash_properties(spark):
     assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
 
 
+def test_simhash_hot_bucket_guard(spark):
+    """90%-identical corpus (the boilerplate-skew shape): 270 clones of
+    one signature put 270 ids on a single (blk, chunk) value in every
+    block.  Unguarded, that bucket alone emits C(270,2)=36k candidate
+    pairs; the guard drops hot buckets whole, keeps the candidate count
+    bounded by max_bucket²/2 per bucket, and still finds the planted
+    near pair among the distinct tail."""
+    import random
+
+    rng = random.Random(7)
+    clone_sig = rng.getrandbits(63)
+    base = rng.getrandbits(63)
+    near = base ^ (1 << 3) ^ (1 << 40)  # hamming 2
+    rows = [(f"c{i}", clone_sig) for i in range(270)]
+    rows += [("base", base), ("near", near)]
+    rows += [(f"r{i}", rng.getrandbits(63)) for i in range(28)]
+    sig = spark.createDataFrame(rows, ["id", "simhash"])
+
+    guarded = dedup.simhash_near_pairs(sig, max_hamming=3, max_bucket=50)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in guarded.collect()}
+    assert got.get(("base", "near")) == 2          # recall survives the guard
+    assert not any(a.startswith("c") or b.startswith("c") for a, b in got)
+    # every surviving bucket obeys the cap, so output pairs are bounded
+    assert len(got) < 50 * 49 / 2
+
+    # the dropped-bucket census names exactly the boilerplate cluster:
+    # one hot bucket per block, each holding all 270 clones
+    dropped = dedup.dropped_block_buckets(sig, blocks=4, max_bucket=50).collect()
+    assert len(dropped) == 4 and all(r["n"] == 270 for r in dropped)
+
+    # lifting the cap shows what the guard saved: the clone cluster's
+    # all-pairs explosion (C(270,2) = 36_315 identical-hash pairs)
+    unguarded = dedup.simhash_near_pairs(
+        sig, max_hamming=3, max_bucket=1_000_000
+    ).count()
+    assert unguarded >= 270 * 269 // 2
+
+
 def test_fingerprint_winnowing(spark):
     docs = _docs(spark)
     fp = {r["doc_id"]: list(r["fingerprints"]) for r in

@@ -299,12 +299,11 @@ def simhash(
     return sums.select("id", body.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
-    """Hamming-close pairs via the block trick: split 64 bits into
-    ``blocks`` chunks; any pair within ``max_hamming < blocks`` shares at
-    least one exact chunk -> join per chunk, verify full distance."""
+def _block_chunks(sig: DataFrame, blocks: int) -> DataFrame:
+    """(id, simhash, blk, chunk): the signature split into ``blocks``
+    64/blocks-bit chunks (the block-trick key table)."""
     width = 64 // blocks
-    chunks = sig.select(
+    return sig.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(
@@ -315,21 +314,75 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) ->
             for b in range(blocks)
         ])).alias("c"),
     ).select("id", "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
-    # both self-join sides read the chunk table: materialize it once
-    # instead of running the upstream signature aggregation twice
-    chunks = chunks.localCheckpoint(eager=True)
-    a, b = chunks.alias("a"), chunks.alias("b")
+
+
+def dropped_block_buckets(
+    sig: DataFrame, blocks: int = 4, max_bucket: int = 200
+) -> DataFrame:
+    """(blk, chunk, n) census of the buckets ``simhash_near_pairs`` DROPS
+    under its hot-bucket guard — the observability hook for logging what
+    the guard cut (count/collect this delta-sized frame and log it next
+    to the near-pair job; the skew test asserts it is exactly the
+    boilerplate cluster and nothing else)."""
+    return (
+        _block_chunks(sig, blocks)
+        .groupBy("blk", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+    )
+
+
+def simhash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, blocks: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Hamming-close pairs via the block trick: split 64 bits into
+    ``blocks`` chunks; any pair within ``max_hamming < blocks`` shares at
+    least one exact chunk -> bucket by chunk value, verify full distance.
+
+    **Hot-bucket guard** (``max_bucket``, on by default): a (blk, chunk)
+    bucket holding n members contributes n(n-1)/2 candidate pairs, and a
+    boilerplate-heavy corpus (exactly what web crawl text and
+    near-duplicate image sets look like at 100 TB) piles thousands of
+    ids onto one 16-bit chunk value — an unguarded self-join emits
+    millions of pairs per hot bucket before the bit_count verify.
+    Buckets larger than ``max_bucket`` are dropped whole, the same
+    spam-cluster guard ``lsh_candidates`` applies; use
+    ``dropped_block_buckets`` to log what was cut.  Dropping trades
+    recall inside mega-clusters for a hard ≤ max_bucket²/2 pair bound
+    per bucket (a pair is only lost when ALL ``blocks`` of its shared
+    chunks are hot, and members of a dropped boilerplate cluster are
+    found by the exact tier anyway).
+
+    Physically ONE corpus shuffle: groupBy (blk, chunk) collects each
+    bucket's (id, simhash) members sorted by id, the guard filters on
+    array size, and the ≤ max_bucket² in-bucket pairs expand JVM-side
+    with indexed transforms (sortedness gives id_a < id_b for free) —
+    the previous self-join shape paid a second exchange plus an eager
+    checkpoint of the chunk table.
+    """
+    chunks = _block_chunks(sig, blocks)
+    buckets = (
+        chunks.groupBy("blk", "chunk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    ms = F.col("ms")
+    combos = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms) - i - 1),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    x["simhash"].alias("h_a"), y["simhash"].alias("h_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

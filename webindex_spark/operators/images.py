@@ -432,6 +432,7 @@ def sample_frames(videos: DataFrame, every: int = 10,
 def phash_near_dups(
     images: DataFrame, max_hamming: int = 6, blocks: int = 8,
     id_col: str = "image_id", phash_col: str = "phash",
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
     the multimodal entry of the dedup stack (columns id_a, id_b,
@@ -443,7 +444,12 @@ def phash_near_dups(
     shares at least one exact 64/blocks-bit block, so candidates come
     from per-block bucket joins and the exact bit_count verify runs on
     candidates only — never an all-pairs stage, the same 100 TB posture
-    as the text dedup lane."""
+    as the text dedup lane.  ``max_bucket`` is the hot-bucket guard
+    (dedup.simhash_near_pairs): near-duplicate image corpora concentrate
+    on few phash block values (solid-color thumbnails, logo tiles), and
+    an unguarded bucket of n members costs n²/2 candidate pairs — hot
+    buckets are dropped whole, loggable via
+    dedup.dropped_block_buckets."""
     import pyspark.sql.functions as F
 
     from webindex_spark.operators import dedup
@@ -451,7 +457,9 @@ def phash_near_dups(
     sig = images.select(
         F.col(id_col).alias("id"), F.col(phash_col).alias("simhash")
     )
-    return dedup.simhash_near_pairs(sig, max_hamming=max_hamming, blocks=blocks)
+    return dedup.simhash_near_pairs(
+        sig, max_hamming=max_hamming, blocks=blocks, max_bucket=max_bucket
+    )
 
 
 GATE_SCHEMA = T.StructType(

@@ -1558,23 +1558,29 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import dedup
 
     sig = dedup.simhash(_docs(spark, sf_dir), hash_fn=ph.phash62, nbits=62)
-    out = dedup.simhash_near_pairs(sig, max_hamming=3, blocks=4)
+    out = dedup.simhash_near_pairs(sig, max_hamming=3, blocks=4, max_bucket=200)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
 def _sql_simhash_near_pairs(max_hamming: int = 3, blocks: int = 4,
-                            nbits: int = 62) -> str:
+                            nbits: int = 62, max_bucket: int = 200) -> str:
     """DuckDB replays the identical block-trick join over the portable
-    62-bit signatures: chunk extraction, per-chunk candidate join, and
-    bit_count(xor) verification — the whole pipeline value-certified."""
+    62-bit signatures: chunk extraction, the hot-bucket guard (drop
+    (blk, chunk) buckets larger than ``max_bucket`` whole — a windowed
+    COUNT, value-certifying the guard semantics, dedup.py
+    simhash_near_pairs), per-chunk candidate join, and bit_count(xor)
+    verification — the whole pipeline value-certified."""
     width = 64 // blocks
     return (
         f"WITH sig AS ({_sql_simhash(nbits)}), "
-        f"chunks AS (SELECT doc_id, simhash, b.blk AS blk, "
+        f"chunks0 AS (SELECT doc_id, simhash, b.blk AS blk, "
         f"(simhash >> (b.blk * {width})) & {(1 << width) - 1} AS chunk "
         f"FROM sig, (SELECT unnest(range({blocks})) AS blk) b), "
+        "chunks AS (SELECT doc_id, simhash, blk, chunk FROM ("
+        "SELECT *, COUNT(*) OVER (PARTITION BY blk, chunk) AS bn FROM chunks0) "
+        f"WHERE bn <= {max_bucket}), "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
         "a.simhash AS ha, b.simhash AS hb FROM chunks a "
         "JOIN chunks b ON a.blk = b.blk AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
