@@ -65,10 +65,19 @@ def main() -> None:
     # this session's parallelism (scaling evidence lives in
     # tools/bench_scaling.py -> BENCH/BASELINE.md)
     from webindex_spark.plans import bench_jobs
+    from webindex_spark.config import WebIndexConfig
 
-    bench_jobs.frontier_throughput_job(spark, 200_000, 20_000)  # warm
+    # optional YAML reconfiguration (reference load semantics): point
+    # WEBINDEX_SPARK_CONFIG (or WI_HOME) at a webindex.yml to change the
+    # crawl probe's politeness budget without touching code
+    wcfg = WebIndexConfig.from_env()
+    budget = wcfg.budget if wcfg is not None else 20
+
+    bench_jobs.frontier_throughput_job(spark, 200_000, 20_000, budget=budget)  # warm
     n_urls = 4_000_000
-    _, f_dt = bench_jobs.frontier_throughput_job(spark, n_urls, 50_000)
+    _, f_dt = bench_jobs.frontier_throughput_job(
+        spark, n_urls, 50_000, budget=budget
+    )
     bench_jobs.image_verify_throughput_job(spark, 2_000)        # warm
     n_img, i_dt = bench_jobs.image_verify_throughput_job(spark, 40_000)
     throughput = {

@@ -239,3 +239,21 @@ def test_crawl_with_compaction_identical(spark, world, tmp_path_factory, crawled
         man = cat.table(t).manifest()
         assert man.get("compaction") is True, t
         assert len(man["segments"]) == 1, t
+
+
+def test_bloom_odelta_merge_commits(spark, crawled):
+    """The filter table commits O(delta): every post-init bloom snapshot
+    is mode="merge" keyed on pid carrying ONLY the shards that epoch's
+    uris touched, and the reconciled read-back equals a from-scratch
+    full insert of the final seen set (bitwise-OR order independence)."""
+    cat, model = crawled
+    t = cat.table("bloom")
+    man = t.manifest()
+    assert man["mode"] == "merge" and man["merge_keys"] == ["pid"]
+    assert len(man["merge_segments"]) == N_EPOCHS  # one delta per epoch
+    got = {r["pid"]: tuple(r["words"]) for r in t.read(spark).collect()}
+    cfg = crawl_cfg()
+    seen_df = cat.table("seen").read(spark).select("uri")
+    full = cfg.filter_insert(seen_df, cfg.empty_filter(spark))
+    exp = {r["pid"]: tuple(r["words"]) for r in full.collect()}
+    assert got == exp

@@ -198,6 +198,55 @@ def tick_frontier(spark, cat, name, state_df, n_delta, mode):
     return commit_s, read_s, n, h
 
 
+def gen_host_uris(spark, n, n_hosts=100):
+    """A crawl epoch's uri batch: n uris over a BOUNDED host set (budget-
+    limited epochs touch few hosts) — the shape that makes the filter's
+    touched-shard set small under (host, salt) sharding."""
+    return spark.range(n).select(
+        F.concat(F.lit("com.h"), (F.col("id") % n_hosts).cast("string"),
+                 F.lit(">>o>/p/"), F.col("id").cast("string")).alias("uri"),
+        F.concat(F.lit("h"), (F.col("id") % n_hosts).cast("string"),
+                 F.lit(".com")).alias("host"),
+    )
+
+
+def tick_filter(spark, cat, expected_n, n_partitions, delta, n_salts, mode):
+    """One epoch's bloom-shard maintenance (seen.bloom_insert through the
+    host_salt_pid sharding run_epoch's fused pipeline uses) committed in
+    ``mode``: merge = delta_only insert + mode="merge" keyed on pid (only
+    touched shards written); full = whole-filter insert + full commit
+    (the round-4 shape whose write volume is the FILTER size)."""
+    from webindex_spark.operators import seen as seen_ops
+
+    n_parts, bits, k = seen_ops.bloom_params(expected_n, 0.01, n_partitions)
+    pid = seen_ops.host_salt_pid("host", "uri", n_salts, n_parts)
+    t = cat.table("bloom")
+    t.commit(seen_ops.empty_bloom(spark, n_parts, bits), epoch=0)
+    t0 = time.monotonic()
+    if mode == "merge":
+        delta_rows = seen_ops.bloom_insert(
+            delta, t.read(spark), "uri", k, bits, n_parts,
+            pid_expr=pid, delta_only=True,
+        )
+        t.commit(delta_rows, epoch=1, mode="merge", merge_keys=["pid"])
+    else:
+        full_rows = seen_ops.bloom_insert(
+            delta, t.read(spark), "uri", k, bits, n_parts, pid_expr=pid
+        )
+        t.commit(full_rows, epoch=1, mode="full")
+    commit_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    n, h = _count_hash(t.read(spark))
+    read_s = time.monotonic() - t0
+    if t.manifest().get("mode") == "merge":
+        touched = spark.read.parquet(
+            os.path.join(t.dir, t.manifest()["merge_segments"][-1])
+        ).count()
+    else:
+        touched = n  # full rewrite touches every shard row
+    return commit_s, read_s, n, h, touched
+
+
 def main():
     quick = "--quick" in sys.argv
     sizes = [1_000_000, 10_000_000] if not quick else [200_000, 2_000_000]
@@ -237,6 +286,34 @@ def main():
                 assert counts["merge"] == counts["full"], (table, s, counts)
             for df in (uc, fr):
                 df.unpersist()
+        # filter shards: commit cost vs FILTER size (the r5 ask) — a
+        # bounded-host epoch batch against a growing bloom geometry;
+        # merge tick should stay ~flat while full grows with the filter
+        n_salts = 8
+        fdelta = gen_host_uris(spark, n_delta).localCheckpoint(eager=True)
+        fsizes = (
+            [(50_000_000, 512), (500_000_000, 4096)]
+            if not quick else [(10_000_000, 256), (100_000_000, 2048)]
+        )
+        for expected_n, n_partitions in fsizes:
+            counts = {}
+            for mode in ("merge", "full"):
+                cat = Catalog(os.path.join(root, f"bloom-{mode}-{expected_n}"))
+                c, r, n, h, touched = tick_filter(
+                    spark, cat, expected_n, n_partitions, fdelta, n_salts, mode
+                )
+                counts[mode] = (n, h)
+                out["results"].append({
+                    "table": "bloom", "mode": mode,
+                    "filter_expected_n": expected_n,
+                    "n_partitions": n_partitions,
+                    "tick_secs": round(c, 2), "read_secs": round(r, 2),
+                    "shards_written": touched,
+                })
+                print(f"# bloom {mode} E={expected_n} P={n_partitions}: "
+                      f"tick {c:.2f}s read {r:.2f}s wrote {touched} shards",
+                      file=sys.stderr)
+            assert counts["merge"] == counts["full"], (expected_n, counts)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))

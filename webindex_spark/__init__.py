@@ -23,6 +23,7 @@ operators.dedup      exact/minhash/simhash/ngram dedup over documents
 operators.simsearch  embedding cosine top-k (brute force + LSH-bucketed)
 operators.textstats  language-ID, quality scoring, token counts
 sources.snapshots    snapshot-parquet table layer (Iceberg-compatible seam)
+config               YAML config with the reference's load semantics
 plans.queries        the reference's 4 query shapes (IndexClient) as DataFrames
 """
 

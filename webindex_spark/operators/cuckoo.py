@@ -186,10 +186,18 @@ def _kernel_upsert(buckets: np.ndarray, fps: np.ndarray, i1s: np.ndarray,
 
 def _cogroup_apply(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
                    n_partitions: int, delete: bool,
-                   pid_expr: F.Column | None = None) -> DataFrame:
+                   pid_expr: F.Column | None = None,
+                   delta_only: bool = False) -> DataFrame:
     cand = _with_hashes(uris, uri_col, m, n_partitions, pid_expr).select(
         "pid", "fp", "i1", "i2", uri_col
     )
+    if delta_only:
+        # O(delta) commit shape (see seen.bloom_insert): only shards the
+        # batch touches are read (broadcast semi — scan, no shuffle),
+        # updated, and returned, for a mode="merge" commit keyed on pid
+        table = table.join(
+            F.broadcast(cand.select("pid").distinct()), "pid", "left_semi"
+        )
 
     def upsert(key, cdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -217,8 +225,11 @@ def _cogroup_apply(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
 
 
 def cuckoo_insert(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
-                  n_partitions: int, pid_expr: F.Column | None = None) -> DataFrame:
-    """Updated filter table (all n_partitions rows present).
+                  n_partitions: int, pid_expr: F.Column | None = None,
+                  delta_only: bool = False) -> DataFrame:
+    """Updated filter table (all n_partitions rows present; with
+    ``delta_only`` only the touched shards — the O(delta) commit shape,
+    see seen.bloom_insert).
 
     MULTISET CONTRACT (Fan et al. §3.2): duplicate fingerprints are
     stored, one copy per insert — that is what makes ``cuckoo_delete``
@@ -232,16 +243,19 @@ def cuckoo_insert(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
     satisfies this structurally (each uri enters the seen set exactly
     once; duplicates WITHIN a batch collapse in ``_cogroup_apply``)."""
     return _cogroup_apply(
-        uris, table, uri_col, m, n_partitions, delete=False, pid_expr=pid_expr
+        uris, table, uri_col, m, n_partitions, delete=False,
+        pid_expr=pid_expr, delta_only=delta_only,
     )
 
 
 def cuckoo_delete(uris: DataFrame, table: DataFrame, uri_col: str, m: int,
-                  n_partitions: int, pid_expr: F.Column | None = None) -> DataFrame:
+                  n_partitions: int, pid_expr: F.Column | None = None,
+                  delta_only: bool = False) -> DataFrame:
     """Remove the uris' fingerprints (exact for previously-inserted items
     — the capability the Bloom tier cannot offer)."""
     return _cogroup_apply(
-        uris, table, uri_col, m, n_partitions, delete=True, pid_expr=pid_expr
+        uris, table, uri_col, m, n_partitions, delete=True,
+        pid_expr=pid_expr, delta_only=delta_only,
     )
 
 

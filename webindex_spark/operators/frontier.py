@@ -163,13 +163,17 @@ class CrawlConfig:
             return cuckoo_ops.empty_cuckoo(spark, n_parts, size)
         return seen_ops.empty_bloom(spark, n_parts, size)
 
-    def filter_insert(self, uris, table, uri_col="uri"):
+    def filter_insert(self, uris, table, uri_col="uri", delta_only=False):
         n_parts, size, k = self.bloom
         if self.filter_kind == "cuckoo":
             from webindex_spark.operators import cuckoo as cuckoo_ops
 
-            return cuckoo_ops.cuckoo_insert(uris, table, uri_col, size, n_parts)
-        return seen_ops.bloom_insert(uris, table, uri_col, k, size, n_parts)
+            return cuckoo_ops.cuckoo_insert(
+                uris, table, uri_col, size, n_parts, delta_only=delta_only
+            )
+        return seen_ops.bloom_insert(
+            uris, table, uri_col, k, size, n_parts, delta_only=delta_only
+        )
 
     def filter_unseen(self, candidates, seen, table, uri_col="uri"):
         n_parts, size, k = self.bloom
@@ -409,7 +413,20 @@ def run_epoch(
         .cache()
     )
     seen_next = seen_tbl.unionByName(newly_seen)
-    bloom_next = cfg.filter_insert(newly_seen.select("uri"), bloom_tbl)
+    # O(delta) filter maintenance: only the shards this epoch's uris land
+    # on are recomputed (touched-slice semi-join inside filter_insert) and
+    # committed as a mode="merge" snapshot keyed on pid — the untouched
+    # ~n_partitions bitmap rows are never rewritten (the reference's
+    # touch-only-dirtied-buckets discipline, UriCombineQ.java:87-90).
+    # Eager checkpoint: the Python insert kernel feeds BOTH the in-epoch
+    # probe (via bloom_next) and the commit — without it each consumer
+    # re-runs the cogroup kernel.
+    bloom_delta = cfg.filter_insert(
+        newly_seen.select("uri"), bloom_tbl, delta_only=True
+    ).localCheckpoint(eager=True)
+    bloom_next = bloom_tbl.join(
+        F.broadcast(bloom_delta.select("pid")), "pid", "left_anti"
+    ).unionByName(bloom_delta)
 
     # 6. frontier update, O(delta): consumed rows (scheduled + robots-
     #    blocked) become merge-commit DELETE keys; unseen new candidates
@@ -569,10 +586,12 @@ def run_epoch(
     #     sources/iceberg_sql.py).  Rewriting any of them in full each
     #     epoch is O(total-state) — quadratic over a crawl, the last
     #     10^10-scale killer the round-3 seam still had;
-    #   * the bloom/cuckoo filter commits full: it is a FIXED-SIZE
-    #     structure (n_partitions packed bit arrays, docs/SCALE.md sizes
-    #     it at 14.4 GiB for 10^10 uris), so its rewrite cost is bounded
-    #     by filter geometry, not by crawl state.
+    #   * the bloom/cuckoo filter ALSO commits mode="merge" keyed on
+    #     pid: one epoch's uris touch a bounded set of (host, salt)
+    #     shards, so only those bitmap rows are recomputed and written
+    #     (delta_only insert above) — at the 10^10 sizing (14.4 GiB over
+    #     1024 shards, docs/SCALE.md) a full rewrite per tick is 14.4 GiB
+    #     of write volume for a few-MiB dirty set.
     # (uri, new_links, new_docs) -> upsert rows + zero-reaching delete keys
     uc_upserts = changes.where(
         (F.col("new_links") != 0) | (F.col("new_docs") != 0)
@@ -604,7 +623,7 @@ def run_epoch(
         "fetched_images": (fetched_images, "append", None, None),
         "fetch_log": (fetch_log, "append", None, None),
         "seen": (newly_seen, "append", None, None),
-        "bloom": (bloom_next, "full", None, None),
+        "bloom": (bloom_delta, "merge", ["pid"], None),
         "index_pages": (ip_upserts, "merge", ["uri"], ip_deletes),
         "index_rows": (
             index_inserts, "merge", ["row", "cf", "cq"], index_delete_keys,

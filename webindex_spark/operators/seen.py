@@ -74,6 +74,68 @@ def bloom_params(expected_n: int, fpp: float = 0.01, n_partitions: int = 64):
     return n_partitions, bits, min(k, 16)
 
 
+def census_shard_loads(
+    census: DataFrame, n_salts: int, n_partitions: int, n_sub: int = 1,
+    host_col: str = "host", n_col: str = "n",
+) -> DataFrame:
+    """(pid, expected_n): each filter shard's expected entry count under
+    ``host_salt_pid`` sharding, computed EXACTLY from a host census
+    (host, n) — the (host, salt[, sub]) slices are enumerable because the
+    salt values are just 0..n_salts-1 and the pid is a pure hash of
+    (host, salt[, sub]); only the split of a host's n across its slices
+    is approximated as uniform (true in expectation: the salt is a uri
+    hash).  The census is the same per-host frequency table the
+    scheduler's politeness phase already aggregates, so this costs one
+    tiny groupBy + a hosts×n_salts explode, never a pass over the uris."""
+    slices = [F.col("salt").cast("long")]
+    ex = census.select(
+        F.col(host_col).alias("host"),
+        (F.col(n_col) / (n_salts * n_sub)).alias("slice_n"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+    )
+    if n_sub > 1:
+        ex = ex.select(
+            "host", "slice_n", "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        )
+        slices.append(F.col("sub").cast("long"))
+    # MUST match host_salt_pid byte-for-byte: same literal seed, same
+    # argument order, same long types (xxhash64 of int != of long)
+    pid = F.pmod(
+        F.xxhash64(F.lit("pid"), F.col("host"), *slices), F.lit(n_partitions)
+    ).cast("int")
+    return (
+        ex.groupBy(pid.alias("pid"))
+        .agg(F.ceil(F.sum("slice_n")).cast("long").alias("expected_n"))
+    )
+
+
+def bloom_params_auto(
+    census: DataFrame, fpp: float = 0.01, n_partitions: int = 64,
+    n_salts: int = 8, n_sub: int = 1,
+    host_col: str = "host", n_col: str = "n",
+):
+    """(n_partitions, bits_per_partition, k) sized so the HOTTEST shard —
+    not the mean one — stays at nominal FPP.
+
+    ``bloom_params`` assumes uniform shard load; under host_salt_pid
+    sharding a hot host concentrates its whole seen-set slice on
+    n_salts×n_sub shards, and a shard loaded past its sizing degrades
+    toward FPP 1 (see bloom_params' note).  This derives each shard's
+    expected load from the host census the scheduler already computes
+    (census_shard_loads), takes the max, and sizes every shard for it —
+    trading a bounded memory factor (max/mean load, typically < 3 even
+    at 10% single-host skew) for a per-shard FPP that holds under the
+    skew instead of silently saturating.  The skew test locks per-shard
+    FPP ≤ 2× nominal on a 10%-hot-host input."""
+    max_load = (
+        census_shard_loads(census, n_salts, n_partitions, n_sub, host_col, n_col)
+        .agg(F.max("expected_n"))
+        .collect()[0][0]
+    )
+    return bloom_params(int(max_load or 1) * n_partitions, fpp, n_partitions)
+
+
 def empty_bloom(spark: SparkSession, n_partitions: int, bits: int) -> DataFrame:
     zero = [0] * (bits // 64)
     rows = [(p, zero) for p in range(n_partitions)]
@@ -222,15 +284,33 @@ def _bloom_probe_cogroup(
 
 def bloom_insert(
     uris: DataFrame, bloom: DataFrame, uri_col: str, k: int, bits: int,
-    n_partitions: int, pid_expr=None,
+    n_partitions: int, pid_expr=None, delta_only: bool = False,
 ) -> DataFrame:
-    """Returns the updated bloom table (all n_partitions rows present).
+    """Returns the updated bloom table.
+
+    ``delta_only=False`` (default): all n_partitions rows present — the
+    full updated filter.  ``delta_only=True``: ONLY the shards the batch
+    touched are computed and returned — the O(delta) commit shape.  A
+    crawl epoch inserts a delta-sized uri batch that lands on a bounded
+    set of (host, salt) shards; recomputing and rewriting the other
+    ~n_partitions bitmap rows every epoch is O(filter) write volume per
+    tick (the reference touches only dirtied buckets,
+    UriCombineQ.java:87-90).  The touched slice is selected with a
+    broadcast semi-join on the batch's pids, so the filter table is
+    scanned, never shuffled; the caller commits the result as a
+    ``mode="merge"`` snapshot keyed on pid (read() reconciles
+    max-sequence per shard) and unions it with the untouched rows when
+    it needs the full filter in the same job (frontier.run_epoch).
 
     ``uris`` may carry extra columns (e.g. host, when ``pid_expr``
     derives the shard from it); only pid/h1/h2 feed the kernel."""
     cand = _with_hashes(uris, uri_col, n_partitions, pid_expr).select(
         "pid", "h1", "h2"
     )
+    if delta_only:
+        bloom = bloom.join(
+            F.broadcast(cand.select("pid").distinct()), "pid", "left_semi"
+        )
 
     def insert(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
