@@ -24,17 +24,27 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# correctness-only gates excluded from the throughput suite: the
+# streaming replay's cost is micro-batch scheduler fixed overhead
+# (~50 sub-second jobs: per-batch pinned reads, checkpoint cuts, merge
+# commits), not a data-path rate — timing it here would triple the suite
+# total while measuring nothing about operator throughput.  It stays in
+# QUERIES, so the correctness driver still runs it against its oracle.
+BENCH_SKIP = {"stream_uri_counts"}
+
+
 def run_queries(spark, sf_dir: str, warmup: bool = True) -> dict[str, float]:
     from webindex_spark.plans.crawl_queries import QUERIES
 
+    bench = {n: q for n, q in QUERIES.items() if n not in BENCH_SKIP}
     if warmup:
         # one untimed pass: JIT + whole-stage-codegen compilation dominate
         # first execution (observed 3-8x); the metric is steady-state
         # throughput, not JVM warmup
-        for name, (fn, _sql) in QUERIES.items():
+        for name, (fn, _sql) in bench.items():
             _force(fn(spark, sf_dir))
     timings: dict[str, float] = {}
-    for name, (fn, _sql) in QUERIES.items():
+    for name, (fn, _sql) in bench.items():
         t0 = time.time()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

@@ -620,6 +620,62 @@ def _sql_image_gate() -> str:
 SQL_IMAGE_GATE = _sql_image_gate()
 
 
+def q_feature_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3's descriptor stage under the value-hash oracle: the PRODUCTION
+    31-dim feature kernel (operators/images.image_features — the real
+    decode + feature_kernel inside mapInPandas, PNG/zlib in-loop for
+    even doc_ids) runs on the synthesized image table, and the gate
+    certifies the lanes whose IEEE arithmetic both engines can replay
+    bit-for-bit: the 3 channel means (exact integer channel sum / 2^8 —
+    exact in f64 — then ONE f64 division by 255 and ONE f32 rounding)
+    and the 24 histogram lanes (integer count / 2^8 — exact at every
+    step, so the f32 values ARE the counts).  std/entropy lanes involve
+    pairwise-summed squared deviations and log2 — not cross-engine
+    replayable at bit level; they stay covered by the retrieval tests.
+    DuckDB recomputes every lane from the raw pixel-integer recurrence."""
+    from webindex_spark.operators import images as img_ops
+
+    emb = img_ops.image_features(_synth_images(spark, sf_dir))
+    e = F.col("embedding")
+    cols = [
+        F.element_at(e, c + 1).cast("double").alias(f"mean_{c}")
+        for c in range(3)
+    ] + [
+        F.element_at(e, 7 + c * 8 + b).cast("double").alias(f"hist_{c}_{b}")
+        for c in range(3)
+        for b in range(8)
+    ]
+    return emb.select("image_id", *cols)
+
+
+def _sql_feature_gate() -> str:
+    n = _IMG_W * _IMG_H * 3
+    lanes = ", ".join(
+        # mean_c: (sum_c / 256) exact, / 255 single-rounded, f32-cast —
+        # the identical op sequence numpy runs (mean = pairwise sum of
+        # exact integers / 2^8, then /255.0, then astype(float32))
+        f"CAST(CAST(SUM(CASE WHEN c = {c} THEN v END) / 256.0 / 255.0 "
+        f"AS REAL) AS DOUBLE) AS mean_{c}"
+        for c in range(3)
+    ) + ", " + ", ".join(
+        f"CAST(CAST(SUM(CASE WHEN c = {c} AND v // 32 = {b} THEN 1 ELSE 0 END) "
+        f"/ 256.0 AS REAL) AS DOUBLE) AS hist_{c}_{b}"
+        for c in range(3)
+        for b in range(8)
+    )
+    return (
+        f"WITH v AS (SELECT doc_id, t % 3 AS c, "
+        f"((((doc_id * 1103515245 + 12345) % {_M31} + t * 2654435761) % {_M31}) "
+        f"* 48271) % {_M31} % 256 AS v "
+        f"FROM documents, range(0, {n}) r(t)) "
+        f"SELECT 'i' || CAST(doc_id AS VARCHAR) AS image_id, {lanes} "
+        "FROM v GROUP BY doc_id"
+    )
+
+
+SQL_FEATURE_GATE = _sql_feature_gate()
+
+
 def q_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bilinear resizer inside the value-hash gate: the 16x16 clips
     run through the PRODUCTION ``resize_images`` (decode -> bilinear
@@ -958,6 +1014,107 @@ SQL_DELTA_MERGE = (
     "CAST(COALESCE(docs, 0) + COALESCE(d_docs, 0) AS BIGINT) AS docs "
     "FROM state FULL OUTER JOIN delta ON state.uri = delta.uri "
     "WHERE COALESCE(docs, 0) + COALESCE(d_docs, 0) != 0"
+)
+
+
+def q_stream_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/T8 end-to-end under the oracle: the Structured Streaming twin
+    (streaming/page_stream.py — file source -> foreachBatch -> the
+    incremental delta engine -> merge-mode snapshot commits) run as a
+    bounded THREE-micro-batch replay over Gson page JSON derived from
+    the orders/lineitem link graph, returning the final reconciled
+    uri_counts state.  The invariant certified is the streaming twin's
+    whole contract: after any micro-batch sequence the streamed state
+    equals the from-scratch batch build over all pages — which is
+    exactly what the oracle SQL computes (the batch UriInfo monoid over
+    the same subset of the graph).  Orders are subsetted (orderkey%10=0)
+    to keep the gate's fixed per-micro-batch cost bounded; the batch
+    split (orderkey%3) only shapes the commit chain, never the final
+    state."""
+    import os
+    import shutil
+    import tempfile
+
+    from webindex_spark.sources.snapshots import Catalog
+    from webindex_spark.streaming.page_stream import start_page_stream
+
+    root = tempfile.mkdtemp(prefix="wix-stream-gate-")
+    try:
+        input_dir = os.path.join(root, "in")
+        os.makedirs(input_dir)
+        orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+        lineitem = _t(spark, sf_dir, "lineitem")
+        keys = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .select("o_custkey", "o_orderkey", "l_partkey")
+            .dropDuplicates(["o_orderkey", "l_partkey"])
+        )
+        links = keys.select(
+            "o_orderkey",
+            F.struct(
+                F.concat(F.lit("http://"), _dst_uri_col()).alias("url"),
+                _dst_uri_col().alias("uri"),
+                F.lit("").alias("anchorText"),
+            ).alias("l"),
+        ).groupBy("o_orderkey").agg(F.collect_list("l").alias("outboundLinks"))
+        link_t = "array<struct<url:string,uri:string,anchorText:string>>"
+        pages = orders.join(links, "o_orderkey", "left").select(
+            F.concat(F.lit("http://"), _src_uri_col()).alias("url"),
+            _src_uri_col().alias("uri"),
+            F.lit("page").alias("title"),
+            F.coalesce("outboundLinks", F.array().cast(link_t)).alias("outboundLinks"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).alias("__b"),
+        )
+        # ONE write job for all three batch files: partitionBy splits the
+        # staged pages into __b=N subdirs (vs 3× recomputing the
+        # orders⋈lineitem join), repartition(1, __b) leaves one file per
+        # batch to rename into the stream's input dir
+        outd = os.path.join(root, "w")
+        pages.repartition(3, "__b").write.partitionBy("__b").mode(
+            "overwrite"
+        ).json(outd)
+        for b in range(3):
+            bdir = os.path.join(outd, f"__b={b}")
+            parts = sorted(f for f in os.listdir(bdir) if f.startswith("part-"))
+            for i, part in enumerate(parts):
+                os.replace(
+                    os.path.join(bdir, part),
+                    os.path.join(input_dir, f"batch-{b}-{i}.json"),
+                )
+        cat = Catalog(os.path.join(root, "cat"))
+        q = start_page_stream(
+            spark, input_dir, cat, os.path.join(root, "ckpt"),
+            available_now=True, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        # pin the result off the temp dir so it can be reclaimed before
+        # the caller materializes the frame
+        return (
+            cat.table("uri_counts")
+            .read(spark)
+            .select("uri", "links_to", "docs")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_STREAM_PAGES = (
+    "SELECT 'com.h' || CAST(o_custkey % 50 AS VARCHAR) || '>>o>/o/' || "
+    "CAST(o_orderkey AS VARCHAR) AS uri FROM orders WHERE o_orderkey % 10 = 0"
+)
+_SQL_STREAM_EDGES = (
+    "SELECT DISTINCT "
+    "'com.h' || CAST(o_custkey % 50 AS VARCHAR) || '>>o>/o/' || CAST(o_orderkey AS VARCHAR) AS src_uri, "
+    "'com.p' || CAST(l_partkey % 100 AS VARCHAR) || '>>o>/p/' || CAST(l_partkey AS VARCHAR) AS dst_uri "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderkey % 10 = 0"
+)
+SQL_STREAM_URI_COUNTS = (
+    "SELECT uri, CAST(SUM(links_to) AS BIGINT) AS links_to, "
+    "CAST(SUM(docs) AS BIGINT) AS docs FROM ("
+    f"SELECT uri, 0 AS links_to, 1 AS docs FROM ({_SQL_STREAM_PAGES}) "
+    f"UNION ALL SELECT dst_uri AS uri, 1 AS links_to, 0 AS docs FROM ({_SQL_STREAM_EDGES})"
+    ") u GROUP BY uri"
 )
 
 
@@ -1808,10 +1965,12 @@ QUERIES: dict = {
     "video_gate": (q_video_gate, SQL_VIDEO_GATE),
     "resample_gate": (q_resample_gate, SQL_RESAMPLE_GATE),
     "resize_gate": (q_resize_gate, SQL_RESIZE_GATE),
+    "feature_gate": (q_feature_gate, SQL_FEATURE_GATE),
     "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "rank_rows": (q_rank_rows, SQL_RANK_ROWS),
     "unseen_two_tier": (q_unseen_two_tier, SQL_UNSEEN_TWO_TIER),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
+    "stream_uri_counts": (q_stream_uri_counts, SQL_STREAM_URI_COUNTS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "nation_volume": (q_nation_volume, SQL_NATION_VOLUME),

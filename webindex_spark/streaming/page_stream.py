@@ -156,15 +156,23 @@ def apply_page_batch(spark: SparkSession, cat: Catalog, pages: DataFrame,
 
 
 def start_page_stream(spark: SparkSession, input_dir: str, cat: Catalog,
-                      checkpoint_dir: str, available_now: bool = True):
+                      checkpoint_dir: str, available_now: bool = True,
+                      max_files_per_trigger: int | None = None):
     """readStream(json lines) -> foreachBatch(delta engine) -> snapshots.
 
     ``available_now=True`` drains everything currently in ``input_dir``
     and stops (the batch-replay mode tests use); ``False`` runs the
-    continuous micro-batch loop.
+    continuous micro-batch loop.  ``max_files_per_trigger`` bounds each
+    micro-batch's file intake (honored by availableNow since Spark 3.3),
+    forcing a multi-batch replay over a pre-staged directory — the
+    oracle gate uses it to certify the incremental cascade across
+    several real micro-batches rather than one drain.
     """
     _empty_state(spark, cat)
-    raw = spark.readStream.schema(GSON_PAGE_SCHEMA).json(input_dir)
+    reader = spark.readStream.schema(GSON_PAGE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(input_dir)
     pages = gson_pages_transform(raw)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
