@@ -34,8 +34,8 @@ APPEND_TABLES: dict[str, dict] = {
     "fetched_images": {"df": "fetched_images", "partitioned_by": "epoch"},
 }
 
-# tables run_epoch commits in full mode -> their MERGE INTO restatement
-# (merge-on-read deltas at scale; the local seam rewrites state instead)
+# the mutating tables' MERGE INTO restatements (merge-on-read deltas —
+# the local seam commits the same shape via mode="merge" snapshots)
 MERGE_TABLES: dict[str, str] = {
     "bloom": (
         "MERGE INTO {cat}.bloom t USING updates u ON t.pid = u.pid "
@@ -79,15 +79,14 @@ MERGE_TABLES: dict[str, str] = {
 
 # what the LOCAL snapshot seam actually commits per epoch (asserted
 # against run_epoch's real manifests in tests/test_iceberg_sql.py):
-# append tables fast-append; the five mutating tables commit
-# mode="merge" (upsert rows + delete keys, merge-on-read — the executable
-# local form of the MERGE INTO statements above); the bloom/cuckoo filter
-# alone rewrites full, because it is a fixed-size structure whose write
-# cost is bounded by filter geometry, not crawl state.
+# append tables fast-append; every mutating table INCLUDING the
+# bloom/cuckoo filter commits mode="merge" (upsert rows + delete keys,
+# merge-on-read — the executable local form of the MERGE INTO statements
+# above).  The filter's merge carries only the shards the epoch's uris
+# touched (seen.bloom_insert delta_only), matching its MERGE INTO on pid.
 LOCAL_COMMIT_MODES: dict[str, str] = {
     **{t: "append" for t in APPEND_TABLES},
     **{t: "merge" for t in MERGE_TABLES},
-    "bloom": "full",
 }
 
 
