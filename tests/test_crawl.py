@@ -47,8 +47,12 @@ def run_model(corpus_pd, images_pd, robots_pd, seeds_pd, n_epochs=N_EPOCHS):
 
 
 def crawl_cfg():
+    # compact_every=0: the fixture locks the RAW merge-chain shapes
+    # (per-epoch merge segments, O(delta) manifests); compaction-on
+    # equality has its own test below
     return frontier_ops.CrawlConfig(
         budget=BUDGET, bloom_expected_n=5000, bloom_partitions=8,
+        compact_every=0,
     )
 
 

@@ -44,7 +44,11 @@ def test_modes_match_what_run_epoch_commits(spark, tmp_path):
     robots = spark.createDataFrame(synth.gen_robots_pandas(4, 1))
     seeds = spark.createDataFrame(synth.gen_seeds_pandas(4, seeds_per_host=1))
     cat = Catalog(str(tmp_path / "cat"))
-    cfg = fr.CrawlConfig(budget=2, bloom_expected_n=1_000, bloom_partitions=4)
+    # compact_every=0: the assertion reads the RAW commit modes; the
+    # default policy's compaction commit would sit on top of them
+    cfg = fr.CrawlConfig(
+        budget=2, bloom_expected_n=1_000, bloom_partitions=4, compact_every=0
+    )
     fr.run_crawl(spark, cat, corpus, images, robots, seeds, 2, cfg)
     for t in fr.TABLES:
         mode = cat.table(t).manifest().get("mode")

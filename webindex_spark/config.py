@@ -45,7 +45,7 @@ class WebIndexConfig:
     bloomFpp: float = 0.01
     bloomPartitions: int = 16
     metricPartitions: int = 16
-    compactEvery: int = 0
+    compactEvery: int = 2  # measured default (tools/bench_compact.py sweep)
 
     @classmethod
     def load(cls, config_path: str) -> "WebIndexConfig":

@@ -135,8 +135,15 @@ class CrawlConfig:
     # fold each mutating table's merge-on-read segment chain back to one
     # segment every N epochs (0 = never).  Keeps per-epoch commits
     # O(delta) while bounding read amplification at O(state/N) amortized
-    # per epoch — the LSM/Iceberg rewrite_data_files tradeoff.
-    compact_every: int = 0
+    # per epoch — the LSM/Iceberg rewrite_data_files tradeoff.  Default 2
+    # from the measured sweep (tools/bench_compact.py, BENCH/BASELINE.md):
+    # at 10M state / 100k deltas the per-epoch total (tick + amortized
+    # fold + reconciled read) is 4.8 s at N=2 vs 8.0 at N=5 and 10.7
+    # uncompacted — merge-on-read amplification costs more than the fold
+    # well before 5 segments, and both sides scale with state so the
+    # ratio carries.  Set 0 when a deployment compacts out-of-band
+    # (Iceberg maintenance jobs).
+    compact_every: int = 2
     bloom: tuple = field(init=False)
 
     def __post_init__(self):
