@@ -157,10 +157,12 @@ WAT_OUT_SCHEMA = T.StructType(
 
 
 def read_wat(
-    spark: SparkSession, path: str, repartition_factor: int = 0
+    spark: SparkSession, path: str | list[str], repartition_factor: int = 0
 ) -> DataFrame:
     """Archive files -> pages DataFrame (empty/non-page records dropped,
-    JSON parse errors surfaced as rows with parse_error=true)."""
+    JSON parse errors surfaced as rows with parse_error=true).  ``path``
+    is a file/glob/directory or an explicit list of them (the TestParser
+    CLI passes the resolved paths-range list)."""
 
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,7 +183,8 @@ def read_wat(
                 rows, columns=[f.name for f in WAT_OUT_SCHEMA.fields]
             )
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    paths = path if isinstance(path, list) else [path]
+    files = spark.read.format("binaryFile").load(paths).select("path", "content")
     pages = files.mapInPandas(parse_files, schema=WAT_OUT_SCHEMA)
     if repartition_factor:
         n_files = files.count()
