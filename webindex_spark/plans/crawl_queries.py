@@ -393,6 +393,11 @@ SQL_SCHED_COGROUP = (
 
 _AUDIO_N = 512          # samples per synthesized clip
 _M31 = 1 << 31
+# The grouped phash synth needs a PRIME modulus: with 2^31 every "% 256"
+# composes through the multiplications ((x*k mod 2^31) mod 256 =
+# (x mod 256)*(k mod 256) mod 256), collapsing the whole recurrence to a
+# 256-state pattern whose average hash has a handful of attractor values.
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
 def _gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,6 +679,148 @@ def _sql_feature_gate() -> str:
 
 
 SQL_FEATURE_GATE = _sql_feature_gate()
+
+
+def _synth_images_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image clusters for the phash dedup gate: every
+    group of 4 doc_ids shares ONE base 16x16 recurrence image (seeded
+    by ``doc_id - doc_id % 4`` with a QUADRATIC mix term — an affine
+    seed makes every group a circular shift of the same underlying
+    sequence and aliases unrelated groups onto identical phashes; the
+    ``base²`` term breaks the constant step) and each member inverts a single,
+    member-distinct pixel (pixel ``37 + (doc_id % 4) * 29``, all three
+    channels) — so intra-group pairs differ in exactly two pixels and
+    land Hamming-close under the 8x8 average hash, while inter-group
+    pairs are unrelated 64-bit values.  Even doc_ids still round-trip
+    the REAL PNG/zlib codec, odd ones raw, same as ``_synth_images``."""
+    from webindex_spark.operators import images as img_ops
+
+    docs = _gate_docs(spark, sf_dir)
+    w, h = _IMG_W, _IMG_H
+    n = w * h * 3
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"].to_numpy():
+                base = int(did) - int(did) % 4
+                h0 = (base * base % _P31 * 48271
+                      + base * 1103515245 + 12345) % _P31
+                # square the progression term: (h0 + t*c) mod p is
+                # LINEAR in t, and "linear then mod 256" is a
+                # quasi-periodic pattern whose 8x8 average hash collapses
+                # onto a few attractor values across seeds — y**2 breaks
+                # the linearity so inter-group phashes are independent
+                # (modulus must be the PRIME _P31, see its definition)
+                y = (h0 + t * 2654435761) % _P31
+                v = (y * y % _P31 * 48271) % _P31 % 256
+                p = 37 + (int(did) % 4) * 29
+                v[p * 3:(p + 1) * 3] = 255 - v[p * 3:(p + 1) * 3]
+                px = v.astype(np.uint8).reshape(h, w, 3)
+                fmt = "png" if did % 2 == 0 else "raw"
+                rows["image_id"].append(f"i{did}")
+                rows["bytes"].append(img_ops.encode(px, fmt))
+                rows["fmt"].append(fmt)
+            out = pd.DataFrame(rows)
+            out["w"] = np.int32(w)
+            out["h"] = np.int32(h)
+            out["caption"] = ""
+            yield out
+
+    return docs.mapInPandas(
+        synth,
+        schema=(
+            "image_id string, bytes binary, fmt string, w int, h int, "
+            "caption string"
+        ),
+    )
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3's near-duplicate-image lane end-to-end under the value-hash
+    oracle: the grouped synth table goes through the REAL codec decode
+    (PNG/zlib for even doc_ids) and the production integer 8x8
+    average-hash kernel (operators/images.gate_features), and the
+    resulting signed-64-bit ``iphash`` column feeds the PRODUCTION
+    ``images.phash_near_dups`` — the guarded block-trick join
+    (dedup.simhash_near_pairs with the hot-bucket cap) — so the whole
+    multimodal dedup composition (decode → hash → bucketed candidate
+    join → bit_count verify) is value-certified, not just
+    retrieval-tested.  DuckDB replays every stage from the raw pixel
+    integers."""
+    from webindex_spark.operators import images as img_ops
+
+    sig = img_ops.gate_features(_synth_images_grouped(spark, sf_dir))
+    out = img_ops.phash_near_dups(
+        sig.select("image_id", "iphash"), max_hamming=7, blocks=8,
+        id_col="image_id", phash_col="iphash", max_bucket=200,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _sql_phash_near_dup(max_hamming: int = 7, blocks: int = 8,
+                        max_bucket: int = 200) -> str:
+    """DuckDB twin: recompute the grouped pixels (base recurrence + the
+    member-distinct inverted pixel), the gray/block sums and the
+    two-32-bit-halves signed iphash exactly as ``_sql_image_gate``,
+    then replay the guarded block join — 8-bit chunk extraction via
+    ``(ph >> 8k) & 255`` (mask-equal across arithmetic/logical shift
+    because the kept bits sit below 64 - shift), the windowed
+    hot-bucket COUNT guard, the per-chunk candidate join on the STRING
+    ids (both engines compare ASCII codepoints), and bit_count(xor)."""
+    w, h, n = _IMG_W, _IMG_H, _IMG_W * _IMG_H * 3
+    width = 64 // blocks
+    return (
+        "WITH b AS (SELECT doc_id, doc_id - doc_id % 4 AS g FROM documents), "
+        f"y AS (SELECT doc_id, t, "
+        f"((g * g % {_P31} * 48271 + g * 1103515245 + 12345) % {_P31} "
+        f"+ t * 2654435761) % {_P31} AS y "
+        f"FROM b, range(0, {n}) r(t)), "
+        f"v0 AS (SELECT doc_id, t, "
+        f"(y * y % {_P31} * 48271) % {_P31} % 256 AS vb FROM y), "
+        "v AS (SELECT doc_id, t, CASE WHEN t // 3 = 37 + (doc_id % 4) * 29 "
+        "THEN 255 - vb ELSE vb END AS v FROM v0), "
+        "px AS (SELECT doc_id, t // 3 AS p, "
+        "SUM(CASE t % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v "
+        "ELSE 114 * v END) AS gray FROM v GROUP BY doc_id, t // 3), "
+        f"blocks AS (SELECT doc_id, "
+        f"((p // {w}) * 8 // {h}) * 8 + ((p % {w}) * 8 // {w}) AS k, "
+        "SUM(gray) AS bsum FROM px GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS gray_sum "
+        "FROM blocks GROUP BY doc_id), "
+        "bits AS (SELECT b.doc_id, b.k, CASE WHEN 64 * b.bsum >= a.gray_sum "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit "
+        "FROM blocks b JOIN agg a USING (doc_id)), "
+        "hl AS (SELECT doc_id, "
+        "CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) "
+        "ELSE 0 END) AS BIGINT) AS hi, "
+        "CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) "
+        "ELSE 0 END) AS BIGINT) AS lo FROM bits GROUP BY doc_id), "
+        "sig AS (SELECT 'i' || CAST(doc_id AS VARCHAR) AS id, "
+        "(hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END) "
+        "* 4294967296 + lo AS ph FROM hl), "
+        f"chunks0 AS (SELECT id, ph, b.blk AS blk, "
+        f"(ph >> (b.blk * {width})) & {(1 << width) - 1} AS chunk "
+        f"FROM sig, (SELECT unnest(range({blocks})) AS blk) b), "
+        "chunks AS (SELECT id, ph, blk, chunk FROM ("
+        "SELECT *, COUNT(*) OVER (PARTITION BY blk, chunk) AS bn "
+        f"FROM chunks0) WHERE bn <= {max_bucket}), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, "
+        "a.ph AS ha, b.ph AS hb FROM chunks a "
+        "JOIN chunks b ON a.blk = b.blk AND a.chunk = b.chunk "
+        "AND a.id < b.id) "
+        f"SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) "
+        f"AS hamming FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"
+    )
+
+
+SQL_PHASH_NEAR_DUP = _sql_phash_near_dup()
 
 
 def q_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1991,6 +2138,7 @@ QUERIES: dict = {
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
+    "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
