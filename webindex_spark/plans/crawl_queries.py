@@ -1265,6 +1265,102 @@ SQL_STREAM_URI_COUNTS = (
 )
 
 
+def q_stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 (watermarked, windowed event-time aggregation) under the
+    oracle: the PRODUCTION ``streaming.event_stream.windowed_rollup``
+    runs as a real Structured Streaming query — file source split into
+    four ts-contiguous micro-batch files (``repartitionByRange`` keeps
+    every batch's event times at or above the previous batch's, so the
+    watermark only ever finalizes, never drops), ``withWatermark("2
+    hours")`` + 1-hour tumbling windows, append-mode memory sink,
+    ``availableNow`` trigger.  Append mode emits exactly the windows the
+    final watermark (max event time - 2h, advanced by the trailing
+    no-data micro-batch) has passed — a deterministic, SQL-replayable
+    predicate — and each emitted (window, type) row must carry counts
+    and sums accumulated across every micro-batch that touched it.
+    ``value`` is pre-scaled to integer thousandths before the stream
+    (the event_rollup trick) so cross-batch partial-sum merge order
+    cannot perturb the float sum."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from webindex_spark.streaming.event_stream import windowed_rollup
+
+    root = tempfile.mkdtemp(prefix="wix-evstream-gate-")
+    name = "wix_stream_event_rollup"
+    try:
+        # watermarks require TIMESTAMP (tz-aware); the parquet ts is NTZ.
+        # With the session tz pinned to UTC the cast is wall-clock
+        # preserving, and window_start is cast back to NTZ on output so
+        # the oracle compares naive timestamps on both sides.
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("value"),
+            "props",
+        )
+        outd = os.path.join(root, "w")
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(outd)
+        input_dir = os.path.join(root, "in")
+        os.makedirs(input_dir)
+        # range partition N holds the N-th ts range; rename in part order
+        # with increasing mtimes so the file source replays them in
+        # event-time order (one file per micro-batch)
+        parts = sorted(
+            f for f in os.listdir(outd)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        now = time.time()
+        for i, part in enumerate(parts):
+            dst = os.path.join(input_dir, f"batch-{i}.parquet")
+            os.replace(os.path.join(outd, part), dst)
+            os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            windowed_rollup(stream, window="1 hour", watermark="2 hours")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .select(
+                F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n_events",
+                (F.col("sum_value") / 1000.0).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_EVENT_ROLLUP = (
+    # the final watermark = max(ts) - 2h; append mode has emitted exactly
+    # the windows whose end it passed, each with full cross-batch totals
+    "WITH mx AS (SELECT max(ts) AS m FROM events) "
+    "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0 "
+    "AS sum_value "
+    "FROM events, mx "
+    "GROUP BY 1, 2, mx.m "
+    "HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR "
+    "<= m - INTERVAL 2 HOUR"
+)
+
+
 # ------------------------------------------------------------------ TPC-H-ish
 
 
@@ -2118,6 +2214,7 @@ QUERIES: dict = {
     "unseen_two_tier": (q_unseen_two_tier, SQL_UNSEEN_TWO_TIER),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "stream_uri_counts": (q_stream_uri_counts, SQL_STREAM_URI_COUNTS),
+    "stream_event_rollup": (q_stream_event_rollup, SQL_STREAM_EVENT_ROLLUP),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "nation_volume": (q_nation_volume, SQL_NATION_VOLUME),
