@@ -99,7 +99,26 @@ def run_level(n_exec: int, n_urls: int, n_images: int, passes: int,
     return json.loads(line)
 
 
+USAGE = """usage: python tools/bench_scaling.py [--quick] [--cogroup] [--curve]
+
+North-rule scaling measurement (N vs 4N local-cluster executors).
+  --quick    2M URLs / 10k images, 1 interleaved pair   (~4 min)
+  --cogroup  force the 10^10-filter cogroup regime, 3 pairs, no images
+  --curve    4-level 1x2/2x2/4x2/8x2 efficiency curve, 2 rounds
+(no flags)   the full 40M-URL broadcast-regime run, 2 rounds x 2 passes
+
+Flags are strict: an unknown argument exits here instead of silently
+starting a multi-hour full run."""
+
+
 def main():
+    known = {"--quick", "--cogroup", "--curve"}
+    extra = [a for a in sys.argv[1:] if a not in known]
+    if extra:
+        print(USAGE, file=sys.stderr)
+        raise SystemExit(
+            0 if extra[0] in ("-h", "--help") else f"unknown argument: {extra[0]}"
+        )
     quick = "--quick" in sys.argv
     cogroup = "--cogroup" in sys.argv   # the 10^10-filter regime:
     # forces the cogroup bloom-probe branch (filter > broadcast cap) and

@@ -1915,6 +1915,46 @@ def _sql_minhash_pairs(k: int = 32, bands: int = 8, max_bucket: int = 50,
 SQL_MINHASH_PAIRS = _sql_minhash_pairs()
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING over the whole corpus: the minhash near-dup
+    pairs (same production plan as ``minhash_pairs``) become edges of
+    an undirected graph; large-star/small-star connected components
+    (operators/components.py, Kiveris et al. SoCC'14 — O(log n)
+    rounds regardless of component diameter, two linear shuffles per
+    round, driver sees only a 2-scalar convergence probe) label every
+    document with its component's minimum doc id.  Output is the
+    keep-one-canonical dedup verdict: (doc_id, cluster, cluster_size),
+    singletons included.  The oracle replays the transitive closure as
+    a DuckDB recursive CTE over the identical SQL-computed pair set."""
+    from webindex_spark.operators import dedup
+    from webindex_spark.operators.components import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup(
+        docs, threshold=0.5,
+        token_hash_fn=ph.phash62, compose_fn=ph.compose62, bucket_fn=ph.fold31,
+    )
+    return dup_clusters(docs, pairs)
+
+
+SQL_DUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (" + _sql_minhash_pairs() + "), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b AS a, id_a AS b FROM pairs), "
+    # reach(id, lbl): lbl can reach id through the symmetric edge set;
+    # min(lbl) per id = the component minimum (components from LSH
+    # banding are small, so the closure stays tiny at oracle scale)
+    "reach(id, lbl) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id), "
+    "cc AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id), "
+    "sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size "
+    "FROM cc GROUP BY cluster) "
+    "SELECT cc.doc_id, cc.cluster, sz.cluster_size FROM cc JOIN sz USING (cluster)"
+)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webindex_spark.operators import dedup
 
@@ -2215,6 +2255,7 @@ QUERIES: dict = {
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "stream_uri_counts": (q_stream_uri_counts, SQL_STREAM_URI_COUNTS),
     "stream_event_rollup": (q_stream_event_rollup, SQL_STREAM_EVENT_ROLLUP),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "nation_volume": (q_nation_volume, SQL_NATION_VOLUME),
