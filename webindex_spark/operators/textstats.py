@@ -178,6 +178,69 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def tf_idf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Corpus-weighted keyword extraction: the ``top_k`` most
+    distinctive terms per document by tf-idf.
+
+    Shape: tokenize + explode once; per-(doc, term) term frequency via
+    one groupBy; document frequency by re-aggregating that (vocab-sized)
+    table — the df table is tiny relative to the corpus and is
+    BROADCAST back onto the tf stream, so the whole plan is one
+    corpus-sized shuffle (the tf groupBy) plus vocab-sized work.
+
+    Ranking uses ``tf/df`` (a double DIVISION — IEEE-exact, hence
+    bit-identical across engines) with the term string as tiebreak, so
+    row_number is deterministic and oracle-replayable; the reported
+    ``tfidf = tf * ln((N+1)/(df+1))`` (smoothed idf) is rounded to 6
+    digits for cross-engine float comparison.  ``N`` (corpus size) is
+    a scalar driver aggregate — one count, same class as the split
+    sampler and epoch meters.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    t = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    # two consumers (the score join and the df aggregate) — materialize
+    # the compact (id, term, tf) table once instead of letting Catalyst
+    # re-scan + re-tokenize the corpus for the df branch
+    tf = (
+        t.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        F.col("id").alias(id_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("__score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("term"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0)))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, window: int = 4, token_hash_fn=None, compose_fn=None,

@@ -2233,6 +2233,183 @@ SQL_EMB_NEAR_DUP = _sql_emb_near_dup()
 
 # ---------------------------------------------------------------------------
 
+# --------------------------------------------------------- curation lane
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination sweep: every 20th document plays the
+    benchmark/eval set; the rest is the training corpus.  Both sides run
+    the production winnowing pipeline (textstats.fingerprint_rows under
+    the portable hash) and corpus docs sharing any fingerprint with a
+    benchmark doc are flagged with the shared count.  The benchmark
+    fingerprint table is broadcast — the corpus side never shuffles for
+    the join (operators/curation.decontaminate).  k=3 grams here (the
+    operator's default is 5): the synthetic corpus is short word soup,
+    and 3-grams give a dense overlap set (~330 pairs at sf0.01) so the
+    gate certifies the join/count path over real volume."""
+    from webindex_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(
+        corpus, bench, k=3, min_shared=1,
+        token_hash_fn=ph.phash62, compose_fn=ph.compose62,
+    )
+
+
+SQL_DECONTAMINATE = (
+    "WITH fps AS (" + _sql_fingerprints(k=3) + "), "
+    "c AS (SELECT doc_id, fingerprint FROM fps WHERE doc_id % 20 <> 0), "
+    "b AS (SELECT doc_id AS bench_id, fingerprint FROM fps WHERE doc_id % 20 = 0) "
+    "SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS shared_fp "
+    "FROM c JOIN b USING (fingerprint) GROUP BY c.doc_id, b.bench_id"
+)
+
+
+def _laced_text_spark() -> F.Column:
+    """Deterministically lace each document with one email, one IPv4 and
+    one SSN-shaped span derived from doc_id (the corpus itself is
+    PII-free word soup, so the scrub gate would otherwise count zeros);
+    the SQL twin builds the identical string."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(d), F.lit("@example.com from "),
+        s(F.pmod(d, F.lit(250)) + 1), F.lit("."),
+        s(F.pmod(d * 7, F.lit(250)) + 1), F.lit(".0."),
+        s(F.pmod(d, F.lit(9)) + 1),
+        F.lit(" ssn "), F.lpad(s(F.pmod(d, F.lit(1000))), 3, "0"),
+        F.lit("-42-"), F.lpad(s(F.pmod(d * 13, F.lit(10000))), 4, "0"),
+    )
+
+
+_SQL_LACED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from '"
+    " || CAST(doc_id % 250 + 1 AS VARCHAR) || '.'"
+    " || CAST(doc_id * 7 % 250 + 1 AS VARCHAR) || '.0.'"
+    " || CAST(doc_id % 9 + 1 AS VARCHAR)"
+    " || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-42-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the laced corpus: counts and scrubbed text via
+    the production sequential regexp pass (operators/curation.pii_scrub,
+    map-only, JVM codegen).  The oracle replays the identical pattern
+    sequence with RE2 — the patterns are written to be engine-portable
+    (bounded quantifiers, no ordered-alternation ambiguity)."""
+    from webindex_spark.operators.curation import pii_scrub
+
+    docs = _docs(spark, sf_dir).select("doc_id", _laced_text_spark().alias("text"))
+    return pii_scrub(docs)
+
+
+def _sql_pii_scrub() -> str:
+    from webindex_spark.operators.curation import PII_PATTERNS
+
+    sql = f"WITH s0 AS (SELECT doc_id, {_SQL_LACED} AS t0 FROM documents)"
+    carry: list[str] = []
+    for i, (name, pat) in enumerate(PII_PATTERNS):
+        prev, nxt = f"t{i}", f"t{i + 1}"
+        keep = ", ".join(carry + [])
+        keep = (keep + ", ") if keep else ""
+        sql += (
+            f", s{i + 1} AS (SELECT doc_id, {keep}"
+            f"CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '<{name}>', 'g') AS {nxt} FROM s{i})"
+        )
+        carry.append(f"n_{name}")
+    last = len(PII_PATTERNS)
+    cols = ", ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    return sql + f" SELECT doc_id, {cols}, t{last} AS scrubbed FROM s{last}"
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling: keep iff
+    phash62(doc_id) mod 10000 clears the stratum's rate threshold
+    (operators/curation.hash_stratified_sample — a pure filter, zero
+    shuffle, reproducible across runs/engines; no rand())."""
+    from webindex_spark.operators.curation import hash_stratified_sample
+
+    return hash_stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.75, "zh": 1.0},
+    )
+
+
+SQL_STRAT_SAMPLE = (
+    "WITH s AS (SELECT doc_id, lang, "
+    f"({ph.sql_phash62('CAST(doc_id AS VARCHAR)')}) % 10000 AS sample_key "
+    "FROM documents) "
+    "SELECT doc_id, lang, sample_key FROM s WHERE sample_key < "
+    "CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000 WHEN 'es' THEN 5000 "
+    "WHEN 'fr' THEN 7500 WHEN 'zh' THEN 10000 ELSE 0 END"
+)
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: the corpus concatenated in
+    doc_id order and cut into 512-token training sequences; each doc
+    mapped to (seq_id, seq_offset, n_splits).  The global prefix sum
+    runs through operators/curation.distributed_cumsum — range
+    partitions + per-partition windows + broadcast offsets, never a
+    single-task global window; the oracle replays the same grid with a
+    plain SQL window (equivalent semantics at toy scale)."""
+    from webindex_spark.operators.curation import seq_pack
+
+    return seq_pack(_docs(spark, sf_dir), budget=512)
+
+
+SQL_SEQ_PACK = (
+    "WITH tok AS (SELECT doc_id, CAST(len(list_filter("
+    "regexp_split_to_array(trim(text), '\\s+'), t -> length(t) > 0)) AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "cum AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) AS c "
+    "FROM tok) "
+    "SELECT doc_id, n_tokens, "
+    "CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS seq_id, "
+    "CAST((c - n_tokens) % 512 AS BIGINT) AS seq_offset, "
+    "CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE "
+    "floor((c - 1) / 512.0) - floor((c - n_tokens) / 512.0) + 1 END AS BIGINT) "
+    "AS n_splits FROM cum"
+)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted keyword extraction: top-3 terms per document by
+    tf-idf (textstats.tf_idf_top_terms — one corpus shuffle for tf, the
+    vocab-sized df table broadcast back).  Ranking is by the
+    IEEE-exact tf/df double with term tiebreak so row_number is
+    deterministic in both engines; the reported tfidf uses smoothed
+    ln((N+1)/(df+1)) rounded to 6 digits."""
+    from webindex_spark.operators.textstats import tf_idf_top_terms
+
+    return tf_idf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
+SQL_TFIDF_TERMS = (
+    "WITH t AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(trim(text)), '\\s+'), tk -> length(tk) > 0)) "
+    "AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), "
+    "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+    "CAST(tf.tf AS DOUBLE) / df.df AS score FROM tf JOIN df USING (term)), "
+    "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, term ASC) AS rank FROM sc) "
+    "SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank, "
+    "round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf "
+    "FROM rk, n WHERE rank <= 3"
+)
+
+
 QUERIES: dict = {
     "uri_counts": (q_uri_counts, SQL_URI_COUNTS),
     "domain_counts": (q_domain_counts, SQL_DOMAIN_COUNTS),
@@ -2281,4 +2458,11 @@ QUERIES: dict = {
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    # curation lane (round 5): contamination, scrubbing, mixture
+    # sampling, sequence packing, keyword extraction
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "strat_sample": (q_strat_sample, SQL_STRAT_SAMPLE),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
 }
