@@ -2410,6 +2410,84 @@ SQL_TFIDF_TERMS = (
 )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/pagerank.py) over the derived
+    link graph — 5 iterations, damping 0.85, int64 ranks at 10^12
+    scale.  Integer floor-division arithmetic makes every node's rank a
+    pure integer function of the edge set, so the oracle unrolls the
+    identical recurrence as 5 chained CTEs and matches bit-for-bit —
+    including dangling-mass redistribution (the part pages have no
+    outlinks)."""
+    from webindex_spark.operators.pagerank import pagerank
+
+    edges = link_edges(spark, sf_dir).select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    )
+    return pagerank(edges, iterations=5).select(
+        F.col("id").alias("uri"), "rank"
+    )
+
+
+def _sql_pagerank(iterations: int = 5, damping: int = 85, scale: int = 10**12) -> str:
+    sql = (
+        f"WITH edges AS ({_SQL_EDGES}), "
+        "nodes AS (SELECT src_uri AS id FROM edges UNION SELECT dst_uri FROM edges), "
+        "deg AS (SELECT src_uri AS id, CAST(COUNT(*) AS BIGINT) AS outdeg "
+        "FROM edges GROUP BY 1), "
+        "nn AS (SELECT COUNT(*) AS n FROM nodes), "
+        f"r0 AS (SELECT id, CAST({scale} // n AS BIGINT) AS rank FROM nodes, nn)"
+    )
+    for k in range(1, iterations + 1):
+        p = f"r{k - 1}"
+        sql += (
+            f", d{k} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM {p} "
+            "WHERE id NOT IN (SELECT id FROM deg))"
+            f", c{k} AS (SELECT e.dst_uri AS id, "
+            f"SUM((p.rank * {damping}) // (deg.outdeg * 100)) AS c "
+            f"FROM edges e JOIN {p} p ON p.id = e.src_uri "
+            "JOIN deg ON deg.id = e.src_uri GROUP BY e.dst_uri)"
+            f", r{k} AS (SELECT nodes.id, "
+            f"CAST((({100 - damping} * {scale}) // (100 * nn.n)) "
+            f"+ (({damping} * d{k}.dm) // (100 * nn.n)) "
+            f"+ COALESCE(c{k}.c, 0) AS BIGINT) AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN d{k} "
+            f"LEFT JOIN c{k} ON c{k}.id = nodes.id)"
+        )
+    return sql + f" SELECT id AS uri, rank FROM r{iterations}"
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream
+    (operators/sessions.py): 30-minute inactivity gap, per-user lag +
+    running-sum windows, integer-microsecond boundary decisions, and
+    the exact integer-scaled value sum.  The batch twin of the
+    streaming lane's session state."""
+    from webindex_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
+SQL_SESSIONS = (
+    "WITH lagd AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts), event_id) AS prev FROM events), "
+    "flags AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 "
+    "THEN 1 ELSE 0 END AS f FROM lagd), "
+    "lab AS (SELECT *, SUM(f) OVER (PARTITION BY user_id "
+    "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM flags) "
+    "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
+    "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / "
+    "CAST(1000 AS DOUBLE) AS total_value "
+    "FROM lab GROUP BY 1, 2"
+)
+
+
 QUERIES: dict = {
     "uri_counts": (q_uri_counts, SQL_URI_COUNTS),
     "domain_counts": (q_domain_counts, SQL_DOMAIN_COUNTS),
@@ -2465,4 +2543,8 @@ QUERIES: dict = {
     "strat_sample": (q_strat_sample, SQL_STRAT_SAMPLE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    # crawl-analytics lane (round 5): eigenvector centrality over the
+    # link graph, gap sessionization over the event stream
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "sessions": (q_sessions, SQL_SESSIONS),
 }
