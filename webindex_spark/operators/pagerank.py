@@ -63,16 +63,21 @@ def pagerank(
     is one.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # node table carries a precomputed dangling flag so the per-iteration
+    # mass probe is a filter+agg over the checkpointed rank table — no
+    # repeated edge scan / outdeg shuffle inside the loop
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(outdeg, "id", "left")
+        .select("id", F.col("outdeg").isNull().alias("dangling"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    outdeg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
     # static per-edge join state: (src, dst, outdeg), partitioned by src
     # once so the per-iteration rank join shuffles only the rank table
     adj = (
@@ -82,10 +87,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = ((100 - damping) * scale) // (100 * n)
-    ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
+    ranks = nodes.select(
+        "id", "dangling", F.lit(scale // n).cast("long").alias("rank")
+    )
     for _ in range(iterations):
         dangling = (
-            ranks.join(outdeg, "id", "left_anti")
+            ranks.filter("dangling")
             .agg(F.coalesce(F.sum("rank"), F.lit(0)))
             .first()[0]
         )
@@ -103,10 +110,11 @@ def pagerank(
             nodes.join(contribs, "id", "left")
             .select(
                 "id",
+                "dangling",
                 (F.lit(base + dshare) + F.coalesce(F.col("c"), F.lit(0)))
                 .cast("long")
                 .alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("id", "rank")
