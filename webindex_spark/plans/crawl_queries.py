@@ -2488,6 +2488,177 @@ SQL_SESSIONS = (
 )
 
 
+def q_hll_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-URI estimate per source host over the link graph
+    (operators/sketches.py) — the approximate twin of the reference's
+    per-domain URI counting (UriCountExport), sized for the 10^10-URI
+    regime where exact per-domain distinct sets no longer fit.  The
+    exact count rides along so the gate certifies registers, harmonic
+    sum, AND the estimate's single-division float path bit-for-bit."""
+    from webindex_spark.operators.sketches import hll_distinct
+
+    # both branches hang off the SAME distinct-pair exchange (HLL is
+    # dup-invariant, so hashing distinct pairs is equivalent) — Spark's
+    # ReuseExchange then computes the edge derivation once
+    d = (
+        link_edges(spark, sf_dir)
+        .select(F.substring_index("src_uri", ">>", 1).alias("host"), "dst_uri")
+        .distinct()
+    )
+    est = hll_distinct(d, ["host"], "dst_uri")
+    exact = d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "host")
+
+
+def _sql_hll_hosts() -> str:
+    from webindex_spark.operators.sketches import _hll_numerator
+
+    rho = "CASE WHEN fb = 0 THEN 33 ELSE 33 - length(bin(fb)) END"
+    scaled = "s_obs + (512 - used) * 8589934592"
+    return (
+        f"WITH e2 AS (SELECT DISTINCT split_part(src_uri, '>>', 1) AS host, "
+        f"dst_uri FROM ({_SQL_EDGES}) e), "
+        f"h AS (SELECT host, {ph.sql_phash31('dst_uri', 31)} AS a, "
+        f"{ph.sql_phash31('dst_uri', 131)} AS b FROM e2), "
+        f"f AS (SELECT host, {ph.sql_mix32('a')} AS fa, "
+        f"{ph.sql_mix32('b')} AS fb FROM h), "
+        f"r AS (SELECT host, fa % 512 AS bucket, MAX({rho}) AS r "
+        "FROM f GROUP BY 1, 2), "
+        "s AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS used, "
+        "CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS s_obs "
+        "FROM r GROUP BY 1), "
+        "x AS (SELECT host, CAST(COUNT(*) AS BIGINT) "
+        "AS exact_distinct FROM e2 GROUP BY 1) "
+        f"SELECT s.host, used, CAST({scaled} AS BIGINT) AS s_scaled, "
+        f"{_hll_numerator()!r} / CAST({scaled} AS DOUBLE) AS est, "
+        "exact_distinct FROM s JOIN x ON s.host = x.host"
+    )
+
+
+SQL_HLL_HOSTS = _sql_hll_hosts()
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter estimates over the event stream
+    (operators/sketches.py): the 4x256 register grid built in one
+    map-side-combined shuffle, then broadcast back for per-user point
+    estimates next to the exact counts.  All-integer, so the oracle
+    replays grid and estimates exactly."""
+    from webindex_spark.operators.sketches import cms_estimate, cms_registers
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    regs = cms_registers(ev, "user_id")
+    est = cms_estimate(counts.select("user_id"), regs, "user_id")
+    return counts.join(est, "user_id")
+
+
+def _sql_cms_counts() -> str:
+    from webindex_spark.operators.sketches import CMS_BASES, CMS_WIDTH
+
+    hashed = " UNION ALL ".join(
+        f"SELECT {r} AS r, "
+        f"{ph.sql_phash31('CAST(user_id AS VARCHAR)', base)} % {CMS_WIDTH} AS c, "
+        "CAST(1 AS BIGINT) AS w FROM events"
+        for r, base in enumerate(CMS_BASES)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {r} AS r, "
+        f"{ph.sql_phash31('CAST(user_id AS VARCHAR)', base)} % {CMS_WIDTH} AS c "
+        "FROM k"
+        for r, base in enumerate(CMS_BASES)
+    )
+    return (
+        "WITH cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n "
+        "FROM events GROUP BY 1), "
+        "k AS (SELECT user_id FROM cnt), "
+        f"regs AS (SELECT r, c, CAST(SUM(w) AS BIGINT) AS reg FROM ({hashed}) "
+        "u GROUP BY 1, 2), "
+        f"est AS (SELECT user_id, CAST(MIN(reg) AS BIGINT) AS cms_n "
+        f"FROM ({probes}) p JOIN regs USING (r, c) GROUP BY 1) "
+        "SELECT cnt.user_id, true_n, cms_n FROM cnt JOIN est USING (user_id)"
+    )
+
+
+SQL_CMS_COUNTS = _sql_cms_counts()
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT percentile_disc over order prices
+    (operators/sketches.exact_quantiles): value histogram + the
+    two-phase prefix sum (curation.distributed_cumsum) + the pure-int64
+    threshold ``cum*100 >= pct*total`` — no single-task global window,
+    no float quantile arithmetic."""
+    from webindex_spark.operators.sketches import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "orders").select("o_totalprice"),
+        "o_totalprice",
+        [1, 25, 50, 75, 90, 99, 100],
+    )
+
+
+SQL_QUANTILES = (
+    "WITH v AS (SELECT o_totalprice AS v, COUNT(*) AS n FROM orders "
+    "GROUP BY 1), "
+    "c AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM v), "
+    "t AS (SELECT SUM(n) AS tot FROM v), "
+    "k AS (SELECT * FROM (VALUES (1),(25),(50),(75),(90),(99),(100)) "
+    "kk(pct)) "
+    "SELECT pct, MIN(v) AS value FROM c, t, k "
+    "WHERE cum * 100 >= pct * tot GROUP BY 1"
+)
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every purchase event matched to
+    the user's most recent view at-or-before it.  The Spark side is the
+    union+window formulation (one shuffle, no range-join blow-up); the
+    oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — the implementation
+    is certified against a real engine's built-in semantics, ties and
+    misses included."""
+    from webindex_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+    )
+    out = asof_join(left, right, ["user_id"], "ts", ["view_event"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "r_view_event",
+        F.col("r_ts").alias("view_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("gap_us"),
+    ).withColumnRenamed("r_view_event", "view_event")
+
+
+SQL_ASOF_EVENTS = (
+    "WITH l AS (SELECT user_id, event_id, ts FROM events "
+    "WHERE event_type = 'purchase'), "
+    "r0 AS (SELECT user_id, ts, MAX(event_id) AS view_event FROM events "
+    "WHERE event_type = 'view' GROUP BY 1, 2) "
+    "SELECT l.user_id, l.event_id, l.ts, r0.view_event, r0.ts AS view_ts, "
+    "CAST(epoch_us(l.ts) - epoch_us(r0.ts) AS BIGINT) AS gap_us "
+    "FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND r0.ts <= l.ts"
+)
+
+
 QUERIES: dict = {
     "uri_counts": (q_uri_counts, SQL_URI_COUNTS),
     "domain_counts": (q_domain_counts, SQL_DOMAIN_COUNTS),
@@ -2547,4 +2718,11 @@ QUERIES: dict = {
     # link graph, gap sessionization over the event stream
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "sessions": (q_sessions, SQL_SESSIONS),
+    # sketch + temporal-join lane (round 5): mergeable approximate
+    # structures with bit-exact oracle replay, and the as-of join
+    # certified against DuckDB's native ASOF semantics
+    "hll_distinct": (q_hll_hosts, SQL_HLL_HOSTS),
+    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
+    "asof_join": (q_asof_events, SQL_ASOF_EVENTS),
 }
