@@ -61,3 +61,31 @@ def test_same_timestamp_ties_break_by_event_id(spark):
         for r in sessionize(_df(spark, rows)).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_native_session_window_matches_batch_rule(spark):
+    """Spark's session_window (the streaming lane's operator, here in
+    batch mode) splits on the SAME rule as sessionize: delta > gap ends
+    a session, delta == gap does not."""
+    from pyspark.sql import functions as F
+
+    from webindex_spark.streaming.event_stream import session_rollup
+
+    rows = [
+        _ev(1, 1, 0), _ev(2, 1, 30),            # exactly 30 -> same
+        _ev(3, 1, 60, seconds=1),               # 30m+1s -> new
+        _ev(4, 2, 0),
+    ]
+    df = _df(spark, rows).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("value"),
+    )
+    native = session_rollup(df).select("user_id", "n_events").collect()
+    got = sorted((r["user_id"], r["n_events"]) for r in native)
+    batch = (
+        session_stats(_df(spark, rows))
+        .select("user_id", "n_events")
+        .collect()
+    )
+    assert got == sorted((r["user_id"], r["n_events"]) for r in batch)
+    assert got == [(1, 1), (1, 2), (2, 1)]

@@ -2488,6 +2488,108 @@ SQL_SESSIONS = (
 )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 companion: Spark's NATIVE ``session_window`` (gap-merged,
+    watermark-closed, state merged across micro-batches) as a real
+    Structured Streaming query over the same 4-file ts-contiguous
+    replay harness as ``stream_event_rollup`` — certified against the
+    BATCH sessionization oracle (operators/sessions.py semantics:
+    measured identical split rule, delta > gap) restricted to the
+    sessions the final watermark closed.  Emitted sessions are a
+    time-prefix per user, so renumbering them by first_ts reproduces
+    the batch ``session_seq`` exactly.  ``value`` pre-scales to integer
+    thousandths (the event_rollup idiom) so cross-batch merge order
+    cannot perturb the float sum."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from webindex_spark.streaming.event_stream import session_rollup
+
+    root = tempfile.mkdtemp(prefix="wix-sessstream-gate-")
+    name = "wix_stream_sessions"
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            F.round(F.col("value") * 1000).cast("long").alias("value"),
+        )
+        outd = os.path.join(root, "w")
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(outd)
+        input_dir = os.path.join(root, "in")
+        os.makedirs(input_dir)
+        parts = sorted(
+            f for f in os.listdir(outd)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        now = time.time()
+        for i, part in enumerate(parts):
+            dst = os.path.join(input_dir, f"batch-{i}.parquet")
+            os.replace(os.path.join(outd, part), dst)
+            os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            session_rollup(stream, gap="30 minutes", watermark="2 hours")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        w = Window.partitionBy("user_id").orderBy("first_ts")
+        return (
+            spark.table(name)
+            .withColumn("session_seq", F.row_number().over(w).cast("long"))
+            .select(
+                "user_id",
+                "session_seq",
+                "n_events",
+                F.col("first_ts").cast("timestamp_ntz").alias("first_ts"),
+                F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+                (
+                    F.unix_micros("last_ts") - F.unix_micros("first_ts")
+                ).cast("long").alias("duration_us"),
+                (F.col("sum_value") / 1000.0).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_SESSIONS = (
+    # batch sessionization (identical split rule) cut to the sessions the
+    # final watermark closed: wm = floor_ms(max ts) - 2h (Spark tracks
+    # event time in ms), emitted iff session end (last_ts + gap) <= wm
+    "WITH mx AS (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 7200000000 "
+    "AS wm_us FROM events), "
+    "lagd AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts), event_id) AS prev FROM events), "
+    "flags AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 "
+    "THEN 1 ELSE 0 END AS f FROM lagd), "
+    "lab AS (SELECT *, SUM(f) OVER (PARTITION BY user_id "
+    "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq "
+    "FROM flags), "
+    "sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
+    "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / "
+    "CAST(1000 AS DOUBLE) AS total_value "
+    "FROM lab GROUP BY 1, 2) "
+    "SELECT s.* FROM sess s, mx "
+    "WHERE epoch_us(s.last_ts) + 1800000000 <= mx.wm_us"
+)
+
+
 def q_hll_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-URI estimate per source host over the link graph
     (operators/sketches.py) — the approximate twin of the reference's
@@ -2721,6 +2823,7 @@ QUERIES: dict = {
     # sketch + temporal-join lane (round 5): mergeable approximate
     # structures with bit-exact oracle replay, and the as-of join
     # certified against DuckDB's native ASOF semantics
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "hll_distinct": (q_hll_hosts, SQL_HLL_HOSTS),
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "quantiles": (q_quantiles, SQL_QUANTILES),

@@ -39,6 +39,29 @@ def windowed_rollup(events: DataFrame, window: str = "1 hour",
     )
 
 
+def session_rollup(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-user SESSION-window aggregation — Spark's native
+    ``session_window`` (gap-merged, watermark-closed) as the streaming
+    twin of operators/sessions.py's batch lag/running-sum formulation.
+    In append mode a session row is emitted once the watermark passes
+    its end (last event + gap), carrying totals merged across every
+    micro-batch that touched the session.  ``value`` must be pre-scaled
+    to integer units by the caller (the event_rollup idiom) so
+    cross-batch merge order cannot perturb the sum."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select("user_id", "n_events", "first_ts", "last_ts", "sum_value")
+    )
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
 _OUT_SCHEMA = T.StructType(
     [
