@@ -49,3 +49,37 @@ def test_asof_keys_do_not_leak(spark):
     right = spark.createDataFrame([(1, 5, _t(1))], ["k", "v", "ts"])
     got = {r["k"]: r["r_v"] for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()}
     assert got == {1: 5, 2: None}
+
+
+def test_interval_join_bounds_inclusive_and_bucket_edges(spark):
+    """Matches exactly [ts - lookback, ts], including rows sitting in
+    the predecessor bucket and at both inclusive endpoints."""
+    from webindex_spark.operators.asof import interval_join
+
+    W = 3_600_000_000  # 1h in us
+    left = spark.createDataFrame([(1, 100, _t(90))], ["k", "lid", "ts"])
+    right = spark.createDataFrame(
+        [
+            (1, 1, _t(30)),            # == ts - 1h exactly -> match
+            (1, 2, _t(29, )),          # 61 min before -> no
+            (1, 3, _t(90)),            # == ts exactly -> match
+            (1, 4, _t(91)),            # after -> no
+            (1, 5, _t(45)),            # mid-window, predecessor bucket -> match
+            (2, 6, _t(60)),            # other key -> no
+        ],
+        ["k", "rid", "ts"],
+    )
+    got = sorted(
+        r["r_rid"]
+        for r in interval_join(left, right, ["k"], "ts", W).collect()
+    )
+    assert got == [1, 3, 5]
+
+
+def test_interval_join_no_nested_loop(spark):
+    from webindex_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame([(1, _t(0))], ["k", "ts"])
+    right = spark.createDataFrame([(1, 1, _t(0))], ["k", "rid", "ts"])
+    plan = interval_join(left, right, ["k"], "ts", 60_000_000)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

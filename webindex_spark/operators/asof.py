@@ -82,3 +82,58 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(prefix + c) for c in right_payload],
         F.col("__m.__rts").alias(prefix + "ts"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    lookback_us: int,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Inner interval join: every (left, right) pair sharing ``on`` keys
+    with ``left.ts - lookback <= right.ts <= left.ts`` (integer
+    microseconds, both ends inclusive).  Right columns come back
+    ``prefix``-renamed.
+
+    Spark plans a naive ``BETWEEN`` theta join as
+    BroadcastNestedLoopJoin — quadratic per key group and a
+    driver-memory bomb at scale.  This is the standard bucketization
+    instead: bucket width == the lookback, right rows keyed by their
+    bucket, left rows exploded to the only TWO buckets a match can
+    live in (``floor(ts/w)`` and its predecessor), then an EQUI-join on
+    (keys, bucket) plus the exact residual filter.  Cost: one 2x
+    duplication of the (narrow) left keys and a hash shuffle join —
+    the same plan shape as every other keyed join in the engine, AQE
+    skew-splittable, never nested-loop."""
+    w = int(lookback_us)
+    l_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    r_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lt = left.withColumn("__lus", l_us).withColumn(
+        "__bkt",
+        F.explode(
+            F.array(
+                (F.floor(F.col("__lus") / w) - 1).cast("long"),
+                F.floor(F.col("__lus") / w).cast("long"),
+            )
+        ),
+    )
+    rt = right.select(
+        *on,
+        F.floor(r_us / w).cast("long").alias("__bkt"),
+        r_us.alias("__rus"),
+        *[
+            F.col(c).alias(prefix + c)
+            for c in right.columns
+            if c not in on
+        ],
+    )
+    return (
+        lt.join(rt, [*on, "__bkt"])
+        .filter(
+            (F.col("__rus") >= F.col("__lus") - F.lit(w))
+            & (F.col("__rus") <= F.col("__lus"))
+        )
+        .drop("__bkt", "__lus", "__rus")
+    )

@@ -2750,6 +2750,55 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("r_view_event", "view_event")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/asof.interval_join): views in the hour
+    before each purchase, per user — the bucketed equi-join
+    formulation (2 bucket probes per left row + exact residual filter)
+    that replaces the BroadcastNestedLoopJoin Spark would plan for the
+    naive BETWEEN theta join.  Aggregated to per-purchase view counts
+    and integer-scaled value sums; zero-match purchases ride back in
+    via a left join so the miss path is certified too."""
+    from webindex_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("vid"),
+        "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("vs"),
+    )
+    j = interval_join(left, right, ["user_id"], "ts", 3_600_000_000)
+    agg = j.groupBy("user_id", "event_id", "ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum("r_vs").alias("_sv"),
+    )
+    return left.join(agg, ["user_id", "event_id", "ts"], "left").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.coalesce(F.col("n_views"), F.lit(0).cast("long")).alias("n_views"),
+        (F.coalesce(F.col("_sv"), F.lit(0)) / 1000.0).alias("view_value"),
+    )
+
+
+SQL_RANGE_JOIN = (
+    "WITH l AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us "
+    "FROM events WHERE event_type = 'purchase'), "
+    "r AS (SELECT user_id, event_id AS vid, epoch_us(ts) AS us, "
+    "CAST(ROUND(value * 1000) AS BIGINT) AS vs FROM events "
+    "WHERE event_type = 'view') "
+    "SELECT l.user_id, l.event_id, l.ts, "
+    "CAST(COUNT(r.vid) AS BIGINT) AS n_views, "
+    "CAST(COALESCE(SUM(r.vs), 0) AS DOUBLE) / 1000.0 AS view_value "
+    "FROM l LEFT JOIN r ON l.user_id = r.user_id "
+    "AND r.us >= l.us - 3600000000 AND r.us <= l.us "
+    "GROUP BY 1, 2, 3"
+)
+
+
 SQL_ASOF_EVENTS = (
     "WITH l AS (SELECT user_id, event_id, ts FROM events "
     "WHERE event_type = 'purchase'), "
@@ -2828,4 +2877,5 @@ QUERIES: dict = {
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "asof_join": (q_asof_events, SQL_ASOF_EVENTS),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
 }
