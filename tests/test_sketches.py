@@ -103,3 +103,26 @@ def test_exact_quantiles_with_heavy_duplication(spark):
         ).collect()
     }
     assert got == {50: 1.0, 90: 1.0, 91: 2.0, 99: 2.0, 100: 3.0}
+
+
+def test_hll_registers_merge_across_partitions(spark):
+    """Mergeability — the property that makes the sketch the 100 TB
+    tool: MAX-merging two days' register tables equals the register
+    table of the union."""
+    from pyspark.sql import functions as F
+
+    day1 = spark.createDataFrame([("k", f"a{i}") for i in range(3000)], ["k", "u"])
+    day2 = spark.createDataFrame(
+        [("k", f"a{i}") for i in range(1500, 4500)], ["k", "u"]
+    )
+    both = day1.union(day2)
+    merged = (
+        sketches.hll_registers(day1, ["k"], "u")
+        .union(sketches.hll_registers(day2, ["k"], "u"))
+        .groupBy("k", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    direct = sketches.hll_registers(both, ["k"], "u")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -2750,6 +2750,35 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("r_view_event", "view_event")
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly (4-cycle) census over the link graph
+    (operators/butterflies.py).  max_degree=45 deliberately bites at
+    this scale (the densest destinations are degree 46-49), so the
+    hot-destination guard itself — drop whole, tally, keep both counts
+    consistent — is inside the certified surface, not just the happy
+    path."""
+    from webindex_spark.operators.butterflies import butterfly_counts
+
+    return butterfly_counts(
+        link_edges(spark, sf_dir), src="src_uri", dst="dst_uri", max_degree=45
+    )
+
+
+SQL_BUTTERFLIES = (
+    f"WITH e AS (SELECT src_uri AS u, dst_uri AS v FROM ({_SQL_EDGES}) t), "
+    "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), "
+    "kept AS (SELECT e.u, e.v FROM e JOIN deg USING (v) WHERE d <= 45), "
+    "p AS (SELECT a.u AS u1, b.u AS u2, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM kept a JOIN kept b ON a.v = b.v AND a.u < b.u GROUP BY 1, 2) "
+    "SELECT "
+    "(SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) FROM deg "
+    "WHERE d <= 45) AS wedges, "
+    "(SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM p) "
+    "AS butterflies, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > 45) AS dropped_dsts"
+)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (operators/asof.interval_join): views in the hour
     before each purchase, per user — the bucketed equi-join
@@ -2878,4 +2907,5 @@ QUERIES: dict = {
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "asof_join": (q_asof_events, SQL_ASOF_EVENTS),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "butterflies": (q_butterflies, SQL_BUTTERFLIES),
 }
