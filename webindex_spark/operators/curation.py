@@ -160,6 +160,52 @@ def hash_stratified_sample(
     )
 
 
+def priority_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    ``k`` items per stratum with the smallest *priority*
+    ``phash62(id) // weight`` (integer division — the fixed-point form
+    of priority sampling's ``u/w``: a uniform key scaled down by the
+    weight, so heavier items win proportionally more often).
+
+    Like :func:`hash_stratified_sample` this replaces RNG state with a
+    content-keyed hash — reproducible across runs/retries/explains and
+    replayable by the oracle — but selects an exact per-stratum COUNT
+    with weight-proportional inclusion instead of a Bernoulli rate.
+    Integer-only arithmetic: no float pow/log, so both engines compute
+    bit-identical priorities.
+
+    Plan: one shuffle (the per-stratum window); the rank filter
+    compiles to WindowGroupLimit, so each partition keeps only its
+    running top-k instead of materializing the full stratum.  Weights
+    must be ≥ 1 (clamped).
+    """
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        ph.phash62(F.col(id_col).cast("string")).alias("__h"),
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)).alias("__w"),
+    ).withColumn(
+        # `div` = exact int64 division (floor(__h / __w) via double would
+        # misround: 62-bit numerators overflow the 53-bit mantissa)
+        "priority", F.expr("__h div __w")
+    )
+    w = Window.partitionBy(stratum_col).orderBy("priority", id_col)
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, stratum_col, "weight", "priority")
+    )
+
+
 # ------------------------------------------- prefix sum + sequence packing
 
 

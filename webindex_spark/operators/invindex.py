@@ -1,0 +1,79 @@
+"""Inverted-index construction: term → posting list.
+
+The reference serves its index out of sorted KV rows (page rank rows,
+domain maps — modules/data IndexClient surface); the missing classic is
+the *text* inverted index a search tier builds from the same crawl.
+:func:`inverted_postings` produces, per term: document frequency, total
+term frequency, and a bounded posting string of the top documents by
+in-document frequency.
+
+Scale shape: two shuffles total — (term, doc) partial-aggregated term
+frequencies, then one term-keyed exchange reused by BOTH the per-term
+stats aggregate and the rank-limited posting collect (same key, no
+extra exchange).  The posting list is capped *before* collection via a
+row_number filter that Spark compiles to WindowGroupLimit — each task
+keeps a running top-``post_len`` heap per term, so a stopword term with
+a billion postings never materializes them (the posting array is
+bounded by construction, the same discipline as the dedup stack's
+``max_bucket`` guards).  The final df-ranked head is
+TakeOrderedAndProject, not a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def inverted_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 100,
+    post_len: int = 20,
+) -> DataFrame:
+    """Build capped posting lists: ``(term, df, total_tf, posting)``.
+
+    ``posting`` is ``"doc:tf,doc:tf,..."`` for the ``post_len`` highest
+    tf documents (ties broken by ascending doc id), ordered by that
+    rank; the output keeps the ``top_terms`` highest-df terms (ties by
+    term) so the result is deterministic end to end.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    t = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = t.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+    rn = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("id"))
+    )
+    ranked = tf.withColumn("rn", rn).where(F.col("rn") <= post_len)
+    posting = ranked.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "id", "tf"))),
+                lambda x: F.concat(
+                    x["id"].cast("string"), F.lit(":"), x["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("posting")
+    )
+    return (
+        stats.join(posting, "term")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_terms)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+            "posting",
+        )
+    )

@@ -165,6 +165,108 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def _rep_gram_fold(toks: F.Column, n: int) -> F.Column:
+    """struct(tc, tg, dup): top in-document n-gram count, the winning
+    gram (smallest-lexicographic among count ties), and the total
+    characters inside duplicated n-grams (count × gram length summed
+    over every gram occurring ≥ 2 times) — all from ONE sort + ONE
+    linear fold over the in-row gram array.  Zero shuffle: the Gopher
+    repetition rules are per-document, so the scalable form never
+    leaves the row (the relational explode/groupBy/window form costs
+    two corpus shuffles for the same numbers — that form is the DuckDB
+    oracle, not the engine path).
+
+    Documents with 0 < tokens < n contribute their single clamped
+    whole-document gram (slice clamps), matching
+    :func:`exploded_ngrams`; empty documents yield the zero struct.
+    """
+    cnt = F.size(toks)
+    grams = F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("tc"), F.lit("").alias("tg"), zero.alias("dup"),
+    )
+
+    def merge(acc, g):
+        run2 = F.when(acc["prev"] == g, acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        glen = F.length(g).cast("long")
+        add = (
+            F.when(run2 == 2, glen * 2)
+            .when(run2 > 2, glen)
+            .otherwise(F.lit(0).cast("long"))
+        )
+        better = run2 > acc["tc"]
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["tc"]).alias("tc"),
+            F.when(better, g).otherwise(acc["tg"]).alias("tg"),
+            (acc["dup"] + add).alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams), init, merge,
+        lambda acc: F.struct(
+            acc["tc"].alias("tc"), acc["tg"].alias("tg"), acc["dup"].alias("dup")
+        ),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = 0.20,
+    top3_max: float = 0.18,
+    dup2_max: float = 0.60,
+) -> DataFrame:
+    """Gopher-style in-document repetition filters (Rae et al. 2021
+    §A1.1: "fraction of characters in the most common n-gram" and
+    "fraction of characters in duplicated n-grams"), computed map-only
+    via :func:`_rep_gram_fold`.
+
+    Per document: ``top2_chars``/``top2_frac`` (most common word
+    2-gram), ``top3_chars``/``top3_frac`` (3-gram), ``dup2_chars``/
+    ``dup2_frac`` (all 2-grams occurring ≥ 2×), and ``rep_pass`` —
+    true when every rounded fraction sits at or under its threshold.
+    Fractions are char-ratio vs ``length(text)`` rounded to 6 digits
+    (the cross-engine float idiom used by every gated fraction)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    n_chars = F.length(F.col(text_col)).cast("long")
+    f2 = _rep_gram_fold(toks, 2)
+    f3 = _rep_gram_fold(toks, 3)
+    denom = F.greatest(n_chars, F.lit(1))
+    top2_frac = F.round((f2["tc"] * F.length(f2["tg"])) / denom, 6)
+    top3_frac = F.round((f3["tc"] * F.length(f3["tg"])) / denom, 6)
+    dup2_frac = F.round(f2["dup"] / denom, 6)
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        (f2["tc"] * F.length(f2["tg"])).cast("long").alias("top2_chars"),
+        top2_frac.alias("top2_frac"),
+        (f3["tc"] * F.length(f3["tg"])).cast("long").alias("top3_chars"),
+        top3_frac.alias("top3_frac"),
+        f2["dup"].cast("long").alias("dup2_chars"),
+        dup2_frac.alias("dup2_frac"),
+        (
+            (top2_frac <= top2_max)
+            & (top3_frac <= top3_max)
+            & (dup2_frac <= dup2_max)
+        ).alias("rep_pass"),
+    )
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             min_hits: int = 3) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

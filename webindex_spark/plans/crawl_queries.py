@@ -1677,17 +1677,21 @@ SQL_KNN_COSINE = (
 from webindex_spark.functions import portable_hash as ph
 
 
-def _sql_gram_hashes(n: int, with_pos: bool = False) -> str:
+def _sql_gram_hashes(
+    n: int, with_pos: bool = False, src: str = "documents", prelude: str = ""
+) -> str:
     """CTEs ``t``/``th``/``gr`` yielding each document's composed n-gram
     hashes: every token hashed ONCE (phash62), gram hash composed from
     the n token hashes — the DuckDB twin of
     ``textstats.exploded_ngram_hashes(..., phash62, compose62)``,
     bit-exact including the clamped short-document gram (slice clamp ==
-    Spark's null-skipped leads) and empty-token filtering."""
+    Spark's null-skipped leads) and empty-token filtering.  ``src``
+    names the (doc_id, text) relation; ``prelude`` injects CTEs ahead
+    of ``t`` (e.g. a synthesized corpus for ``src``)."""
     head = (
-        "WITH t AS (SELECT doc_id, list_filter("
+        f"WITH {prelude + ', ' if prelude else ''}t AS (SELECT doc_id, list_filter("
         "regexp_split_to_array(lower(trim(text)), '\\s+'), "
-        "tk -> length(tk) > 0) AS toks FROM documents), "
+        f"tk -> length(tk) > 0) AS toks FROM {src}), "
         f"th AS (SELECT doc_id, list_transform(toks, tk -> {ph.sql_phash62('tk')}) AS ths FROM t), "
     )
     rng = f"range(1, greatest(len(ths) - {n - 1}, 1) + 1)"
@@ -2839,6 +2843,288 @@ SQL_ASOF_EVENTS = (
 )
 
 
+# ------------------------------------------ structural dedup + index lane
+
+
+def _boiler_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized page corpus with realistic boilerplate skew: one page
+    per order, five lines — a per-host navigation header (~N/50 copies
+    corpus-wide), a global copyright footer (N copies), a unique order
+    line, a low-cardinality status line (some combos repeat past the
+    threshold, some don't — the threshold itself is exercised), and a
+    2-char 'ad' line that repeats N times but sits under the min_chars
+    guard.  The SQL twin builds the identical strings."""
+    o = _t(spark, sf_dir, "orders")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = s(F.pmod(F.col("o_custkey"), F.lit(50)))
+    lines = [
+        F.concat(F.lit("host com.h"), host, F.lit(" navigation home about contact")),
+        F.lit("copyright 2024 webindex crawler all rights reserved"),
+        F.concat(F.lit("order "), s(F.col("o_orderkey")), F.lit(" priority "), F.col("o_orderpriority")),
+        F.concat(F.lit("status "), F.col("o_orderstatus"), F.lit(" date "), s(F.col("o_orderdate"))),
+        F.lit("ad"),
+    ]
+    return o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.concat_ws("\n", *lines).alias("text"),
+    )
+
+
+_SQL_BOILER_PAGES = (
+    "SELECT o_orderkey AS doc_id, "
+    "'host com.h' || CAST(o_custkey % 50 AS VARCHAR) || ' navigation home about contact' || chr(10) || "
+    "'copyright 2024 webindex crawler all rights reserved' || chr(10) || "
+    "'order ' || CAST(o_orderkey AS VARCHAR) || ' priority ' || o_orderpriority || chr(10) || "
+    "'status ' || o_orderstatus || ' date ' || CAST(o_orderdate AS VARCHAR) || chr(10) || "
+    "'ad' AS text FROM orders"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus line dedup (operators/linedup
+    .corpus_line_dedup) over the boilerplate page corpus: lines
+    repeating ≥ 3× corpus-wide are dropped from every document (the
+    per-host nav header and global footer go; unique order lines stay;
+    repeated-but-short 'ad' lines stay via the min_chars guard; the
+    low-cardinality status lines straddle the threshold).  One corpus
+    shuffle — the duplicate-line dictionary is a partial-agg +
+    broadcast join."""
+    from webindex_spark.operators.linedup import corpus_line_dedup
+
+    out = corpus_line_dedup(
+        _boiler_pages(spark, sf_dir), min_count=3, min_chars=5
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_dropped",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
+SQL_LINE_DEDUP = (
+    f"WITH pages AS ({_SQL_BOILER_PAGES}), "
+    "ln0 AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM pages), "
+    "ln1 AS (SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1), "
+    "i -> {'pos': i - 1, 'line': parts[i]})) AS pl FROM ln0), "
+    "lines AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM ln1), "
+    "dup AS (SELECT md5(line) AS lh FROM lines WHERE length(line) >= 5 "
+    "GROUP BY 1 HAVING COUNT(*) >= 3), "
+    "m AS (SELECT l.doc_id, l.pos, l.line, (d.lh IS NOT NULL) AS isdup "
+    "FROM lines l LEFT JOIN dup d ON md5(l.line) = d.lh) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, "
+    "CAST(length(COALESCE(string_agg(CASE WHEN NOT isdup THEN line END, chr(10) "
+    "ORDER BY pos), '')) AS BIGINT) AS clean_chars, "
+    "md5(COALESCE(string_agg(CASE WHEN NOT isdup THEN line END, chr(10) "
+    "ORDER BY pos), '')) AS clean_hash "
+    "FROM m GROUP BY doc_id"
+)
+
+_WD_W = 8  # window width (tokens) for the substring-dedup gate
+
+
+def _passage_spark() -> F.Column:
+    """Shared 10-token passage appended to every 3rd document, keyed by
+    doc_id % 17 — cross-document exact substring duplication with known
+    group structure (the raw corpus is collision-free word soup)."""
+    g = F.pmod(F.col("doc_id"), F.lit(17)).cast("string")
+    toks = [F.concat(F.lit("pg"), g, F.lit(f"w{j}")) for j in range(10)]
+    return F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.col("text"), F.lit(" "), F.concat_ws(" ", *toks)),
+    ).otherwise(F.col("text"))
+
+
+_SQL_PASSAGE = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' ' || "
+    + " || ' ' || ".join(
+        f"'pg' || CAST(doc_id % 17 AS VARCHAR) || 'w{j}'" for j in range(10)
+    )
+    + " ELSE text END"
+)
+
+
+def q_win_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (8-token rolling window) duplication census
+    (operators/linedup.window_dedup_stats) — the scalable stand-in for
+    suffix-array dedup: per document, how many windows are duplicated
+    corpus-wide and exactly how many token positions their union
+    covers (ordered-window interval union, no per-doc Python).  Runs
+    under the portable hash so DuckDB replays the window hashing
+    bit-exactly."""
+    from webindex_spark.operators.linedup import window_dedup_stats
+
+    corpus = _docs(spark, sf_dir).select("doc_id", _passage_spark().alias("text"))
+    return window_dedup_stats(
+        corpus, w=_WD_W, min_count=2,
+        token_hash_fn=ph.phash62, compose_fn=ph.compose62,
+    )
+
+
+SQL_WIN_DEDUP = (
+    _sql_gram_hashes(
+        _WD_W, with_pos=True, src="corpus",
+        prelude=f"corpus AS (SELECT doc_id, {_SQL_PASSAGE} AS text FROM documents)",
+    )
+    + ", dupw AS (SELECT gh FROM gr GROUP BY gh HAVING COUNT(*) >= 2), "
+    "m AS (SELECT g.id, g.pos, (d.gh IS NOT NULL) AS isdup "
+    "FROM gr g LEFT JOIN dupw d USING (gh)), "
+    "c AS (SELECT id, pos, isdup, "
+    f"MAX(CASE WHEN isdup THEN pos + {_WD_W} END) OVER (PARTITION BY id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM m), "
+    "agg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+    "CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows, "
+    f"CAST(SUM(CASE WHEN isdup THEN GREATEST(0, pos + {_WD_W} - "
+    "GREATEST(pos, COALESCE(pe, pos))) ELSE 0 END) AS BIGINT) AS raw_cov "
+    "FROM c GROUP BY id), "
+    "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) "
+    "SELECT b.doc_id, b.n_tokens, "
+    "CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows, "
+    "CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows, "
+    "LEAST(COALESCE(a.raw_cov, 0), b.n_tokens) AS dup_token_cov, "
+    "ROUND(LEAST(COALESCE(a.raw_cov, 0), b.n_tokens) / GREATEST(b.n_tokens, 1), 6) "
+    "AS dup_frac "
+    "FROM base b LEFT JOIN agg a ON b.doc_id = a.id"
+)
+
+
+def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (textstats.repetition_stats): top-2/3
+    word-n-gram character fractions and duplicated-2-gram character
+    fraction per document, plus the pass verdict — computed map-only
+    (one in-row sort + fold per n), zero shuffle.  The oracle replays
+    the same numbers relationally (explode + groupBy + window)."""
+    from webindex_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_REP_STATS = (
+    "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), "
+    "'\\s+'), tk -> length(tk) > 0) AS toks, CAST(length(text) AS BIGINT) AS n_chars "
+    "FROM documents), "
+    "g2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram FROM t WHERE len(toks) > 0), "
+    "g3 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram FROM t WHERE len(toks) > 0), "
+    "c2 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2), "
+    "c3 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g3 GROUP BY 1, 2), "
+    "top2 AS (SELECT doc_id, c * length(gram) AS top2_chars FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn "
+    "FROM c2) WHERE rn = 1), "
+    "top3 AS (SELECT doc_id, c * length(gram) AS top3_chars FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn "
+    "FROM c3) WHERE rn = 1), "
+    "dup2 AS (SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(gram) END), 0) "
+    "AS BIGINT) AS dup2_chars FROM c2 GROUP BY 1) "
+    "SELECT t.doc_id, t.n_chars, "
+    "CAST(COALESCE(top2_chars, 0) AS BIGINT) AS top2_chars, "
+    "ROUND(COALESCE(top2_chars, 0) / GREATEST(t.n_chars, 1), 6) AS top2_frac, "
+    "CAST(COALESCE(top3_chars, 0) AS BIGINT) AS top3_chars, "
+    "ROUND(COALESCE(top3_chars, 0) / GREATEST(t.n_chars, 1), 6) AS top3_frac, "
+    "CAST(COALESCE(dup2_chars, 0) AS BIGINT) AS dup2_chars, "
+    "ROUND(COALESCE(dup2_chars, 0) / GREATEST(t.n_chars, 1), 6) AS dup2_frac, "
+    "(ROUND(COALESCE(top2_chars, 0) / GREATEST(t.n_chars, 1), 6) <= 0.20 AND "
+    "ROUND(COALESCE(top3_chars, 0) / GREATEST(t.n_chars, 1), 6) <= 0.18 AND "
+    "ROUND(COALESCE(dup2_chars, 0) / GREATEST(t.n_chars, 1), 6) <= 0.60) AS rep_pass "
+    "FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id) "
+    "LEFT JOIN dup2 USING (doc_id)"
+)
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists (operators/invindex
+    .inverted_postings): per term, document frequency, total term
+    frequency, and the top-20 documents by in-document tf as a bounded
+    posting string — the WindowGroupLimit cap keeps a stopword term
+    from ever materializing its full posting set."""
+    from webindex_spark.operators.invindex import inverted_postings
+
+    return inverted_postings(_docs(spark, sf_dir), top_terms=100, post_len=20)
+
+
+SQL_POSTINGS = (
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+    "lower(trim(text)), '\\s+'), tk -> length(tk) > 0)) AS term FROM documents), "
+    "tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), "
+    "r AS (SELECT term, doc_id, tf, ROW_NUMBER() OVER (PARTITION BY term "
+    "ORDER BY tf DESC, doc_id) AS rn FROM tf), "
+    "s AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) "
+    "AS total_tf FROM tf GROUP BY 1), "
+    "p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(tf AS VARCHAR), ',' ORDER BY rn) AS posting FROM r WHERE rn <= 20 GROUP BY 1) "
+    "SELECT s.term, s.df, s.total_tf, p.posting FROM s JOIN p USING (term) "
+    "ORDER BY df DESC, term LIMIT 100"
+)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/curation.priority_sample): top-25 documents per language
+    by integer priority phash62(id) div weight — heavier (longer)
+    documents win proportionally more often, no RNG anywhere, so the
+    oracle replays the exact selection."""
+    from webindex_spark.operators.curation import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", k=25
+    )
+
+
+SQL_WEIGHTED_SAMPLE = (
+    "WITH k AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, "
+    f"{ph.sql_phash62('CAST(doc_id AS VARCHAR)')} AS h FROM documents), "
+    "p AS (SELECT doc_id, lang, weight, h // GREATEST(weight, 1) AS priority FROM k), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) "
+    "AS rn FROM p) "
+    "SELECT doc_id, lang, weight, priority FROM r WHERE rn <= 25"
+)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census (operators/triangles.triangle_census) over
+    a 1009-node host projection of the order→part graph — degree
+    orientation bounds every out-neighborhood at O(√m) so the wedge
+    expansion needs no drop-based cap; the closing-edge probe joins on
+    the orientation key, JVM-side pair expansion throughout."""
+    from webindex_spark.operators.triangles import triangle_census
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("n"), s(F.pmod(F.col("o_custkey"), F.lit(1009)))).alias("src"),
+        F.concat(F.lit("n"), s(F.pmod(F.col("l_partkey"), F.lit(1009)))).alias("dst"),
+    )
+    return triangle_census(e, "src", "dst")
+
+
+SQL_TRIANGLES = (
+    "WITH raw AS (SELECT 'n' || CAST(o_custkey % 1009 AS VARCHAR) AS s, "
+    "'n' || CAST(l_partkey % 1009 AS VARCHAR) AS t "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), "
+    "e AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM raw WHERE s <> t), "
+    "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM "
+    "(SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 1), "
+    "k AS (SELECT e.a, e.b, da.d AS da, db.d AS db FROM e "
+    "JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n), "
+    "o AS (SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u, "
+    "CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS w, "
+    "CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dw FROM k), "
+    "tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM o o1 "
+    "JOIN o o2 ON o1.u = o2.u AND (o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w)) "
+    "JOIN o o3 ON o3.u = o1.w AND o3.w = o2.w), "
+    "sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS wedges FROM deg), "
+    "ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e) "
+    "SELECT n_nodes, n_edges, wedges, triangles, "
+    "ROUND((triangles * 3) / GREATEST(wedges, 1), 6) AS global_cc "
+    "FROM sums, ec, tri"
+)
+
+
 QUERIES: dict = {
     "uri_counts": (q_uri_counts, SQL_URI_COUNTS),
     "domain_counts": (q_domain_counts, SQL_DOMAIN_COUNTS),
@@ -2908,4 +3194,13 @@ QUERIES: dict = {
     "asof_join": (q_asof_events, SQL_ASOF_EVENTS),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "butterflies": (q_butterflies, SQL_BUTTERFLIES),
+    # structural dedup + index lane (round 5): sub-document exact dedup
+    # (line + token-window), in-document repetition filters, the text
+    # inverted index, weighted sampling, unipartite triangle census
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "win_dedup": (q_win_dedup, SQL_WIN_DEDUP),
+    "rep_stats": (q_rep_stats, SQL_REP_STATS),
+    "postings": (q_postings, SQL_POSTINGS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "triangles": (q_triangles, SQL_TRIANGLES),
 }
