@@ -2843,6 +2843,90 @@ SQL_ASOF_EVENTS = (
 )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stream-stream interval join under the oracle
+    (streaming/event_stream.purchase_view_join): the events table
+    replayed as 4 ts-contiguous micro-batch files, purchases joined to
+    the same user's views in the preceding hour with watermarks on
+    BOTH sides (join state bounded by the range predicate + watermark
+    — the 100 TB posture for streaming joins).  The watermark delay
+    (2 h) exceeds the lookback (1 h) plus the replay's
+    out-of-orderness (0: ts-range files), so the emitted inner-join
+    set provably equals the batch interval join, which the DuckDB
+    oracle recomputes relationally.  Aggregated per purchase to
+    view counts + integer-scaled value sums."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from webindex_spark.streaming.event_stream import purchase_view_join
+
+    root = tempfile.mkdtemp(prefix="wix-joinstream-gate-")
+    name = "wix_stream_join"
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        outd = os.path.join(root, "w")
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(outd)
+        input_dir = os.path.join(root, "in")
+        os.makedirs(input_dir)
+        parts = sorted(
+            f for f in os.listdir(outd)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        now = time.time()
+        for i, part in enumerate(parts):
+            dst = os.path.join(input_dir, f"batch-{i}.parquet")
+            os.replace(os.path.join(outd, part), dst)
+            os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            purchase_view_join(stream, lookback="1 hour", watermark="2 hours")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .groupBy("user_id", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_views"),
+                (F.sum("vs") / 1000.0).alias("view_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_JOIN = (
+    "WITH l AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us "
+    "FROM events WHERE event_type = 'purchase'), "
+    "r AS (SELECT user_id, epoch_us(ts) AS us, "
+    "CAST(ROUND(value * 1000) AS BIGINT) AS vs FROM events "
+    "WHERE event_type = 'view') "
+    "SELECT l.user_id, l.event_id, l.ts, "
+    "CAST(COUNT(*) AS BIGINT) AS n_views, "
+    "CAST(SUM(r.vs) AS DOUBLE) / 1000.0 AS view_value "
+    "FROM l JOIN r ON l.user_id = r.user_id "
+    "AND r.us >= l.us - 3600000000 AND r.us <= l.us "
+    "GROUP BY 1, 2, 3"
+)
+
+
 # ------------------------------------------ structural dedup + index lane
 
 
@@ -3203,4 +3287,7 @@ QUERIES: dict = {
     "postings": (q_postings, SQL_POSTINGS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "triangles": (q_triangles, SQL_TRIANGLES),
+    # native stream-stream interval join, certified against the batch
+    # interval-join oracle (watermark > lookback => no eviction loss)
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
 }

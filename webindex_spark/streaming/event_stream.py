@@ -62,6 +62,51 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def purchase_view_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase matched to the
+    same user's views in the preceding ``lookback`` — Spark's native
+    watermarked stream-stream join (both sides carry a watermark; the
+    event-time range predicate bounds join state so view rows are
+    evicted once no future purchase can reach back to them).
+
+    Emits one row per (purchase, view) match in append mode.  With the
+    watermark delay strictly greater than ``lookback`` plus the
+    out-of-orderness of the source, NO match is lost to state eviction
+    — the inner join's emitted set equals the batch interval join
+    (operators/asof.interval_join), which is what the oracle certifies.
+
+    ``vs`` is the view's value pre-scaled to integer thousandths (the
+    event_rollup idiom) so downstream sums are order-independent.
+    """
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("vid"),
+            F.col("ts").alias("vts"),
+            F.round(F.col("value") * 1000).cast("long").alias("vs"),
+        )
+        .withWatermark("vts", watermark)
+    )
+    return p.join(
+        v,
+        F.expr(
+            "user_id = v_user_id AND "
+            f"vts >= ts - interval {lookback} AND vts <= ts"
+        ),
+        "inner",
+    ).select("user_id", "event_id", "ts", "vid", "vts", "vs")
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
 _OUT_SCHEMA = T.StructType(
     [
