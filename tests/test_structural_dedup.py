@@ -138,6 +138,59 @@ def test_window_dedup_overlapping_runs_union_exactly(spark):
     assert got[2]["n_dup_windows"] == 3 and got[2]["dup_token_cov"] == 10
 
 
+def _py_window_cut(rows, w=8, min_count=2):
+    wins, toks_by = [], {}
+    for did, text in rows:
+        toks = text.lower().split()
+        toks_by[did] = toks
+        if not toks:
+            continue
+        if len(toks) < w:
+            wins.append((did, 0, tuple(toks)))
+        else:
+            wins.extend(
+                (did, i, tuple(toks[i:i + w])) for i in range(len(toks) - w + 1)
+            )
+    counts = Counter(key for _, _, key in wins)
+    keeper = {}
+    for did, pos, key in sorted(wins):
+        if counts[key] >= min_count and key not in keeper:
+            keeper[key] = (did, pos)
+    out = {}
+    for did, toks in toks_by.items():
+        cut = set()
+        for d, pos, key in wins:
+            if d != did or counts[key] < min_count or keeper[key] == (d, pos):
+                continue
+            cut.update(range(pos, min(pos + w, len(toks)) if len(toks) >= w else len(toks)))
+        kept = [t for i, t in enumerate(toks) if i not in cut]
+        out[did] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+def test_window_dedup_cut_keeps_first_occurrence(spark):
+    from webindex_spark.operators.linedup import window_dedup_cut
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"intro words here {passage} outro"),
+        (1, f"other doc {passage} trailing bits"),
+        (2, passage),
+        (3, "independent text with no shared runs anywhere at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exp = _py_window_cut(rows)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["clean_text"])
+        for r in window_dedup_cut(docs, w=8, min_count=2).collect()
+    }
+    assert got == exp
+    # the corpus-first copy (doc 0) survives; later copies are cut
+    assert "alpha" in got[0][2] and "alpha" not in got[1][2]
+    assert got[2] == (8, 8, "")
+    assert got[3][1] == 0
+
+
 # ----------------------------------------------------- repetition stats
 
 

@@ -56,10 +56,13 @@ def corpus_line_dedup(
     broadcast back onto the line stream; reassembly is the single
     corpus shuffle (``groupBy(id)`` with an ordered struct collect).
     """
+    # the line stream feeds two consumers (dictionary + rebuild) —
+    # materialize once instead of re-splitting the corpus (the tf_idf
+    # idiom; at cluster scale this is persist-or-reuse-shuffle)
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
-    )
+    ).localCheckpoint(eager=True)
     lh = F.md5(F.col("line")).alias("lh")
     dup = (
         lines.where(F.length("line") >= min_chars)
@@ -91,6 +94,91 @@ def corpus_line_dedup(
             kept_join.alias("clean_text"),
         )
         .withColumnRenamed("id", id_col)
+    )
+
+
+def window_dedup_cut(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_count: int = 2,
+    broadcast_dict: bool = True,
+    token_hash_fn=None,
+    compose_fn=None,
+) -> DataFrame:
+    """Exact substring dedup with CUTTING (Lee et al. 2022 semantics):
+    every occurrence of a duplicated ``w``-token window is removed
+    except the corpus-first keeper — the instance with the smallest
+    (id, pos) for that window hash.  Tokens covered by at least one
+    non-keeper duplicated window are dropped; each document is rebuilt
+    from its surviving (lowercased) tokens in order.
+
+    Returns ``(id_col, n_tokens, n_cut, clean_text)``.
+
+    Plan: the duplicate dictionary now carries the keeper coordinate
+    (``min(struct(id, pos))`` inside the same partial aggregate that
+    counts occurrences) and is broadcast back; per-document cut
+    intervals are collected once (bounded by the window count) and the
+    rebuild is a pure in-row array filter — the corpus body again
+    shuffles exactly once.  The coverage test deliberately runs on the
+    UNMERGED interval list (`exists` over ≤ windows-per-doc entries):
+    merging first would save comparisons but costs an extra ordered
+    fold, and the per-row bound is already linear in document length.
+    """
+    from webindex_spark.operators.textstats import exploded_ngram_hashes
+
+    grams = exploded_ngram_hashes(
+        docs, id_col, text_col, n=w,
+        token_hash_fn=token_hash_fn, compose_fn=compose_fn,
+    ).localCheckpoint(eager=True)  # dictionary + cut join (measured ~30%)
+    dup = (
+        grams.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col("id").alias("kid"), F.col("pos").alias("kpos"))).alias("kp"),
+        )
+        .where(F.col("c") >= min_count)
+        .select("gh", "kp")
+    )
+    if broadcast_dict:
+        dup = F.broadcast(dup)
+    cut = (
+        grams.join(dup, "gh")
+        .where(
+            ~((F.col("id") == F.col("kp.kid")) & (F.col("pos") == F.col("kp.kpos")))
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").alias("s"), (F.col("pos") + w).alias("e")
+                )
+            ).alias("iv")
+        )
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    iv = F.coalesce(
+        F.col("iv"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    indexed = F.transform(
+        F.col("toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            iv, lambda v: (v["s"] <= x["i"]) & (x["i"] < v["e"])
+        ),
+    )
+    return base.join(cut, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_cut"),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("clean_text"),
     )
 
 
@@ -131,7 +219,7 @@ def window_dedup_stats(
     grams = exploded_ngram_hashes(
         docs, id_col, text_col, n=w,
         token_hash_fn=token_hash_fn, compose_fn=compose_fn,
-    )
+    ).localCheckpoint(eager=True)  # dictionary + mark join, one hash pass
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))

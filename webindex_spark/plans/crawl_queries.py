@@ -3074,6 +3074,52 @@ SQL_WIN_DEDUP = (
 )
 
 
+def q_win_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup with cutting (operators/linedup
+    .window_dedup_cut, Lee et al. semantics): on the laced corpus,
+    every duplicated 8-token window occurrence except its corpus-first
+    keeper is removed and documents are rebuilt from the surviving
+    tokens — so exactly one copy of the shared passage survives per
+    passage group.  Duplicate dictionary carries the keeper coordinate
+    in the same partial aggregate; rebuild is an in-row array filter;
+    one corpus shuffle."""
+    from webindex_spark.operators.linedup import window_dedup_cut
+
+    corpus = _docs(spark, sf_dir).select("doc_id", _passage_spark().alias("text"))
+    out = window_dedup_cut(
+        corpus, w=_WD_W, min_count=2,
+        token_hash_fn=ph.phash62, compose_fn=ph.compose62,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_cut",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
+SQL_WIN_CUT = (
+    _sql_gram_hashes(
+        _WD_W, with_pos=True, src="corpus",
+        prelude=f"corpus AS (SELECT doc_id, {_SQL_PASSAGE} AS text FROM documents)",
+    )
+    + ", cnt AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS c FROM gr GROUP BY 1), "
+    "inst AS (SELECT g.id, g.pos, g.gh, n.c, ROW_NUMBER() OVER "
+    "(PARTITION BY g.gh ORDER BY g.id, g.pos) AS rk FROM gr g JOIN cnt n USING (gh)), "
+    f"cut AS (SELECT id, pos AS s, pos + {_WD_W} AS e FROM inst WHERE c >= 2 AND rk > 1), "
+    "tok AS (SELECT doc_id AS id, unnest(list_transform(range(1, len(toks) + 1), "
+    "i -> {'tpos': i - 1, 'tok': toks[i]})) AS pt FROM t), "
+    "tok2 AS (SELECT id, pt.tpos AS tpos, pt.tok AS tok FROM tok), "
+    "keep AS (SELECT k.id, k.tpos, k.tok FROM tok2 k WHERE NOT EXISTS "
+    "(SELECT 1 FROM cut c WHERE c.id = k.id AND c.s <= k.tpos AND k.tpos < c.e)) "
+    "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, "
+    "CAST(len(t.toks) - COUNT(k.tok) AS BIGINT) AS n_cut, "
+    "CAST(length(COALESCE(string_agg(k.tok, ' ' ORDER BY k.tpos), '')) AS BIGINT) "
+    "AS clean_chars, "
+    "md5(COALESCE(string_agg(k.tok, ' ' ORDER BY k.tpos), '')) AS clean_hash "
+    "FROM t LEFT JOIN keep k ON t.doc_id = k.id GROUP BY t.doc_id, len(t.toks)"
+)
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (textstats.repetition_stats): top-2/3
     word-n-gram character fractions and duplicated-2-gram character
@@ -3283,6 +3329,7 @@ QUERIES: dict = {
     # inverted index, weighted sampling, unipartite triangle census
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "win_dedup": (q_win_dedup, SQL_WIN_DEDUP),
+    "win_cut": (q_win_cut, SQL_WIN_CUT),
     "rep_stats": (q_rep_stats, SQL_REP_STATS),
     "postings": (q_postings, SQL_POSTINGS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
