@@ -44,7 +44,14 @@ def inverted_postings(
         lambda t: F.length(t) > 0,
     )
     t = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
-    tf = t.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    # two consumers (per-term stats, rank-limited posting collect) —
+    # materialize the compact (term, id, tf) table once (the tf_idf
+    # idiom) instead of re-tokenizing the corpus per branch
+    tf = (
+        t.groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
 
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),

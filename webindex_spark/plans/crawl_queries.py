@@ -2927,6 +2927,151 @@ SQL_STREAM_JOIN = (
 )
 
 
+# ---------------------------------------------------- OLAP breadth lane
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation via native ROLLUP: order revenue at
+    (nation, year), (nation) and grand-total grains in ONE pass —
+    Spark expands the grouping sets inside a single hash aggregate
+    (Expand + partial combine), not three scans.  Revenue sums ride
+    integer cents so cross-engine float addition order is moot;
+    subtotal NULL markers are coalesced to sentinels for the driver's
+    canonicalizer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        n, c.c_nationkey == n.n_nationkey
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = (
+        j.select(
+            F.col("n_name"),
+            F.year("o_orderdate").alias("yr"),
+            cents.alias("cents"),
+        )
+        .rollup("n_name", "yr")
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    return out.select(
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        F.coalesce(F.col("yr"), F.lit(-1)).cast("long").alias("yr"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        "n_orders",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+    )
+
+
+SQL_ROLLUP_REVENUE = (
+    "WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey) "
+    "SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(yr, -1) AS yr, "
+    "CAST(SUM(cents) AS BIGINT) AS rev_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue "
+    "FROM j GROUP BY ROLLUP(n_name, yr)"
+)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: per-user event counts spread across one column per
+    event type (explicit value list, so no extra distinct pass), plus
+    the integer-scaled value total.  Pivot compiles to a single
+    PivotFirst/conditional aggregate — one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("_vs")
+    )
+    out = counts.join(totals, "user_id")
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in _EVENT_TYPES
+        ],
+        (F.col("_vs") / 1000.0).alias("total_value"),
+    )
+
+
+SQL_PIVOT_EVENTS = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + ", CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0 "
+    "AS total_value FROM events GROUP BY user_id"
+)
+
+
+def q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/analytics.cohort_retention): users
+    bucketed by first-activity ISO week, counted per week offset —
+    the (user, week) grid is distinct so the rollup is a plain count,
+    no count-distinct shuffle."""
+    from webindex_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_COHORTS = (
+    "WITH grid AS (SELECT DISTINCT user_id AS u, "
+    "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), "
+    "first AS (SELECT u, MIN(wk) AS cohort_week FROM grid GROUP BY 1) "
+    "SELECT f.cohort_week, "
+    "CAST(date_diff('day', f.cohort_week, g.wk) // 7 AS BIGINT) AS week_offset, "
+    "CAST(COUNT(*) AS BIGINT) AS n_users "
+    "FROM grid g JOIN first f USING (u) GROUP BY 1, 2"
+)
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential 3-stage funnel (operators/analytics.funnel_summary):
+    stage k counts only after stage k-1's timestamp — a per-user
+    recurrence solved with one collect + in-row ordered fold (one
+    shuffle) instead of one self-join per stage.  The oracle replays
+    the chain relationally (one correlated min per stage), including
+    the same-microsecond tiebreak (earlier stage first)."""
+    from webindex_spark.operators.analytics import funnel_summary
+
+    return funnel_summary(_t(spark, sf_dir, "events"), _FUNNEL_STAGES)
+
+
+SQL_FUNNEL = (
+    "WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, "
+    "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 "
+    "WHEN 'purchase' THEN 2 END AS si FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase')), "
+    "u0 AS (SELECT u, MIN(us) AS t0 FROM e WHERE si = 0 GROUP BY 1), "
+    "u1 AS (SELECT e.u, MIN(us) AS t1 FROM e JOIN u0 USING (u) "
+    "WHERE si = 1 AND us >= t0 GROUP BY 1), "
+    "u2 AS (SELECT e.u, MIN(us) AS t2 FROM e JOIN u1 USING (u) "
+    "WHERE si = 2 AND us >= t1 GROUP BY 1) "
+    "SELECT 0 AS stage_idx, 'view' AS stage, "
+    "CAST((SELECT COUNT(*) FROM u0) AS BIGINT) AS n_users, "
+    "CAST(0 AS BIGINT) AS sum_gap_us "
+    "UNION ALL SELECT 1, 'click', CAST((SELECT COUNT(*) FROM u1) AS BIGINT), "
+    "CAST(COALESCE((SELECT SUM(t1 - t0) FROM u1 JOIN u0 USING (u)), 0) AS BIGINT) "
+    "UNION ALL SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM u2) AS BIGINT), "
+    "CAST(COALESCE((SELECT SUM(t2 - t1) FROM u2 JOIN u1 USING (u)), 0) AS BIGINT)"
+)
+
+
 # ------------------------------------------ structural dedup + index lane
 
 
@@ -3337,4 +3482,10 @@ QUERIES: dict = {
     # native stream-stream interval join, certified against the batch
     # interval-join oracle (watermark > lookback => no eviction loss)
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    # OLAP breadth lane (round 5): grouping sets, pivot, behavioral
+    # analytics (cohort retention, sequential funnel)
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
+    "cohorts": (q_cohorts, SQL_COHORTS),
+    "funnel": (q_funnel, SQL_FUNNEL),
 }
