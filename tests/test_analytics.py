@@ -81,6 +81,58 @@ def test_funnel_sequential_dependency(spark):
     assert summary["purchase"] == (2, 2 * 3600 * 1_000_000)
 
 
+def test_ewma_matches_python_recurrence(spark):
+    from webindex_spark.operators.analytics import ewma_by_key
+
+    rows = [
+        # user 1: out-of-order arrival, fold must sort by (ts, event_id)
+        (1, _ts(1, 12), 103, 4.0), (1, _ts(1, 10), 101, 2.0),
+        (1, _ts(1, 11), 102, 10.0),
+        # user 2: single event -> ewma == value
+        (2, _ts(2, 9), 201, 7.5),
+        # user 3: same-ts tie broken by event_id
+        (3, _ts(3, 8), 302, 1.0), (3, _ts(3, 8), 301, 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = {r["user_id"]: r for r in ewma_by_key(df).collect()}
+
+    def py(vals):
+        s = None
+        for v in vals:
+            sv = round(v * 1000)
+            s = sv if s is None else (sv + s) // 2
+        return s
+
+    assert got[1]["ewma"] == py([2.0, 10.0, 4.0]) and got[1]["n_events"] == 3
+    assert got[2]["ewma"] == 7500 and got[2]["last_v"] == 7500
+    assert got[3]["ewma"] == py([9.0, 1.0])       # event_id 301 first
+
+
+def test_zorder_interleave_and_locality(spark):
+    import pyspark.sql.functions as F
+
+    from webindex_spark.functions.zorder import zvalue16
+
+    pts = [(x, y) for x in (0, 1, 5, 255, 1023, 65535)
+           for y in (0, 2, 7, 512, 65535)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y", zvalue16(F.col("x"), F.col("y")).alias("z")).collect()}
+
+    def py_z(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == py_z(x, y), (x, y)
+    # locality: fixing one dimension, the key is monotone in the other
+    assert got[(0, 0)] < got[(1, 0)] < got[(5, 0)] < got[(255, 0)]
+    assert got[(0, 0)] < got[(0, 2)] < got[(0, 7)] < got[(0, 512)]
+
+
 def test_funnel_same_microsecond_ties(spark):
     # all three stages at the identical timestamp: earlier stage wins
     # the sort tiebreak, so the whole chain completes at that instant

@@ -113,6 +113,72 @@ def funnel(
     )
 
 
+def ewma_by_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    p: int = 1,
+    q: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average, integer
+    fixed-point: ``s_i = (p·v_i + (q-p)·s_(i-1)) div q`` with
+    ``v_i = round(value·scale)`` — the decayed host-latency /
+    quality-score recurrence a crawl scheduler keeps per host.
+
+    A recurrence, so no window function expresses it; like
+    :func:`funnel` it folds in-row: ONE shuffle collects each key's
+    (µs, tiebreak, v) structs, an in-row sort + linear fold runs the
+    recurrence.  Integer div each step ⇒ bit-identical across engines
+    and replayable by the oracle (float ``alpha`` powers would drift).
+    The first observation initializes ``s = v``.
+
+    Returns ``(key, n_events, last_v, ewma)`` with ``ewma`` still in
+    scaled integer units (callers divide by ``scale`` for display).
+    """
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(order_tiebreak).alias("tb"),
+        F.round(F.col(value_col) * scale).cast("long").alias("v"),
+    )
+    collected = ev.groupBy("k").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("us"), F.col("tb"), F.col("v")))
+        ).alias("evs")
+    )
+    nul = F.lit(None).cast("long")
+    init = F.struct(nul.alias("s"), nul.alias("last"), F.lit(0).cast("long").alias("n"))
+
+    def step(acc, e):
+        nxt = F.when(acc["s"].isNull(), e["v"]).otherwise(
+            _floor_div(e["v"] * p + acc["s"] * (q - p), q)
+        )
+        return F.struct(
+            nxt.alias("s"), e["v"].alias("last"), (acc["n"] + 1).alias("n")
+        )
+
+    folded = collected.select(
+        F.col("k").alias(key_col), F.aggregate("evs", init, step).alias("f")
+    )
+    return folded.select(
+        key_col,
+        F.col("f.n").alias("n_events"),
+        F.col("f.last").alias("last_v"),
+        F.col("f.s").alias("ewma"),
+    )
+
+
+def _floor_div(num, den: int):
+    """Exact FLOOR int64 division as a column expression: subtracting
+    the positive pmod makes the numerator an exact multiple of ``den``,
+    so the double division is exact for any |num| < 2^52.  Floor (not
+    truncate) matches DuckDB's ``//`` on negatives too."""
+    return ((num - F.pmod(num, F.lit(den))) / den).cast("long")
+
+
 def funnel_summary(
     events: DataFrame,
     stages: list[str],

@@ -3072,6 +3072,78 @@ SQL_FUNNEL = (
 )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-decayed value (operators/analytics.ewma_by_key):
+    the integer fixed-point EWMA recurrence s = (v + s_prev) div 2 a
+    crawl scheduler keeps per host for latency/quality — folded in-row
+    after ONE per-key collect (a recurrence; no window function
+    expresses it), floor division each step so both engines are
+    bit-identical.  Tie order (ts, event_id) replayed by the oracle's
+    ordered list aggregation."""
+    from webindex_spark.operators.analytics import ewma_by_key
+
+    return ewma_by_key(_t(spark, sf_dir, "events"))
+
+
+SQL_EWMA = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
+    "CAST(ROUND(value * 1000) AS BIGINT) AS v FROM events), "
+    "coll AS (SELECT user_id, list(v ORDER BY us, event_id) AS vs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY 1) "
+    "SELECT user_id, n_events, vs[len(vs)] AS last_v, "
+    "list_reduce(vs, (s, v) -> (v + s) // 2) AS ewma "
+    "FROM coll"
+)
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering (functions/zorder.zvalue16): Morton
+    keys over (custkey, orderkey) assigned to 64Ki curve ranges — the
+    OPTIMIZE ZORDER primitive that makes min/max footer stats prune on
+    EITHER dimension.  The per-bucket min/max spans of both dimensions
+    are the certified evidence of locality; every bit of the
+    interleave is replayed by the SQL twin."""
+    from webindex_spark.functions.zorder import zvalue16
+
+    o = _t(spark, sf_dir, "orders")
+    z = zvalue16(F.col("o_custkey"), F.col("o_orderkey"))
+    b = F.shiftright(z, 16)  # 64Ki curve ranges (z is 32-bit)
+    return (
+        o.select(
+            z.alias("z"),
+            b.alias("bucket"),
+            F.col("o_custkey").bitwiseAND(F.lit(0xFFFF)).alias("x"),
+            F.col("o_orderkey").bitwiseAND(F.lit(0xFFFF)).alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def _sql_zorder() -> str:
+    from webindex_spark.functions.zorder import sql_zvalue16
+
+    return (
+        "WITH b AS (SELECT o_custkey & 65535 AS x, o_orderkey & 65535 AS y "
+        "FROM orders), "
+        f"z AS (SELECT x, y, {sql_zvalue16('x', 'y')} AS z FROM b) "
+        "SELECT z >> 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(z) AS min_z, MAX(z) AS max_z, MIN(x) AS min_x, MAX(x) AS max_x, "
+        "MIN(y) AS min_y, MAX(y) AS max_y FROM z GROUP BY 1"
+    )
+
+
+SQL_ZORDER = _sql_zorder()
+
+
 # ------------------------------------------ structural dedup + index lane
 
 
@@ -3488,4 +3560,7 @@ QUERIES: dict = {
     "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
     "cohorts": (q_cohorts, SQL_COHORTS),
     "funnel": (q_funnel, SQL_FUNNEL),
+    # decayed metrics + layout clustering (round 5)
+    "ewma": (q_ewma, SQL_EWMA),
+    "zorder": (q_zorder, SQL_ZORDER),
 }
