@@ -1,0 +1,106 @@
+"""HITS (hubs & authorities) over the crawl's link graph — integer
+fixed-point, bit-exact deterministic, oracle-replayable.
+
+Kleinberg's HITS is THE classic web-index centrality pair: a page is a
+good *hub* if it links to good *authorities* and vice versa.  Like
+operators/pagerank.py, all arithmetic is int64 fixed-point so two runs
+(and two engines) agree to the last unit:
+
+    a_raw(v) = Σ h(u)           over edges u→v
+    a(v)     = a_raw(v) div max(1, (Σ a_raw) div scale)     (L1 norm)
+    h_raw(u) = Σ a(v)           over edges u→v
+    h(u)     = h_raw(u) div max(1, (Σ h_raw) div scale)
+
+The normalizer divides by the GRANULE ``total div scale`` instead of
+multiplying by ``scale`` first — the multiply-then-divide form
+overflows int64 once ``a_raw`` carries degree mass; the granule form
+loses ≤ 1 part in ``scale`` of precision, identically in both engines
+(determinism, not ulp fidelity, is what the oracle certifies).
+
+Scale posture: mirrors pagerank — the static edge list is partitioned
+and materialized once; each half-step is one linear shuffle of the
+rank table plus ONE scalar aggregate (the L1 total, same class as the
+dangling-mass probe); iteration lineage is truncated per round.  At a
+10^10-node graph the int64 headroom bound is ``scale · Σoutdeg`` —
+callers drop ``scale`` accordingly (the docstring math, not a hidden
+constraint).
+
+Reference parity: the reference exposes inbound counts per URI
+(UriInfo) but no spectral centrality; this is the crawl-analytics lane
+companion to `pagerank`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-point HITS over a directed edge list.
+
+    Returns ``(id, hub, auth)`` for every node, int64 fixed-point
+    scores L1-normalized to ~``scale`` per vector per iteration (0 for
+    roles a node never plays).  Multi-edges count once per occurrence —
+    pass a distinct list for simple-graph semantics.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    adj = e.repartition("src").localCheckpoint(eager=True)
+    srcs = adj.select(F.col("src").alias("id")).distinct()
+    n_src = srcs.count()
+    h = srcs.select(
+        "id", F.lit(scale // max(n_src, 1)).cast("long").alias("h")
+    ).localCheckpoint(eager=True)
+
+    # per iteration: ONE materialization job (the end-of-iteration h
+    # checkpoint, which truncates lineage like pagerank).  The L1
+    # granules are 1-row aggregates CROSS-JOINED back (Spark broadcasts
+    # them) instead of driver .first() scalars — no driver round-trips,
+    # no extra job scheduling (measured: the 24-job collect form spent
+    # its time on job overhead, not data).  Within an iteration the
+    # un-checkpointed a/ar subtrees are re-evaluated a handful of times
+    # over the checkpointed inputs — vocabulary-sized joins, cheaper
+    # than materialization barriers.
+    gran = f"greatest(CAST(1 AS BIGINT), coalesce(sum(raw), 0) div {scale}) AS g"
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            adj.join(h, adj.src == h.id)
+            .select(F.col("dst").alias("id"), F.col("h").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("raw"))
+        )
+        a = a_raw.crossJoin(F.broadcast(a_raw.agg(F.expr(gran)))).select(
+            "id", F.expr("raw div g").cast("long").alias("a")
+        )
+        h_raw = (
+            adj.join(a, adj.dst == a.id)
+            .select(F.col("src").alias("id"), F.col("a").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("raw"))
+        )
+        h = (
+            h_raw.crossJoin(F.broadcast(h_raw.agg(F.expr(gran))))
+            .select("id", F.expr("raw div g").cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        nodes.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )

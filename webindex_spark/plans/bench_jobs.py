@@ -191,3 +191,67 @@ def image_verify_throughput_job(
     dt = time.time() - t0
     assert n_ok == n_images, f"verification failed: {n_ok}/{n_images}"
     return n_ok, dt
+
+
+# ---------------------------------------------------- dedup-lane throughput
+
+
+def synth_corpus(
+    spark: SparkSession, n_docs: int, tokens_per_doc: int = 60, vocab: int = 40
+) -> DataFrame:
+    """Deterministic word-soup corpus generated inside Spark (the
+    frontier-job idiom: pure exprs over ``spark.range``, no driver
+    materialization): ~``tokens_per_doc`` tokens from a small vocab,
+    with every 3rd document carrying a shared 10-token passage keyed by
+    ``doc_id % 17`` — cross-document exact duplication with the same
+    group structure the win_dedup/win_cut gates certify."""
+    vocab_arr = F.array(*[F.lit(f"w{i}") for i in range(vocab)])
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(tokens_per_doc)),
+        lambda i: F.element_at(
+            vocab_arr,
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(vocab)) + 1).cast("int"),
+        ),
+    )
+    g = F.pmod(F.col("id"), F.lit(17)).cast("string")
+    passage = F.concat_ws(
+        " ", *[F.concat(F.lit("pg"), g, F.lit(f"w{j}")) for j in range(10)]
+    )
+    body = F.array_join(toks, " ")
+    text = F.when(
+        F.pmod(F.col("id"), F.lit(3)) == 0,
+        F.concat(body, F.lit(" "), passage),
+    ).otherwise(body)
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
+def dedup_throughput_job(
+    spark: SparkSession, n_docs: int, tmp_dir: str = "/tmp/webindex_bench_docs"
+) -> tuple[int, float]:
+    """Returns (docs_deduped, wall_seconds) for the flagship substring
+    dedup-with-cutting pipeline (operators/linedup.window_dedup_cut
+    under the production xxhash64): tokenize → composed 8-gram hashes →
+    duplicate dictionary with keeper coordinates → broadcast mark →
+    in-row rebuild.  Corpus generation happens once into parquet
+    (excluded from timing) so every parallelism level reads identical
+    bytes."""
+    import os
+
+    from webindex_spark.operators.linedup import window_dedup_cut
+
+    data_dir = os.path.join(tmp_dir, f"data_{n_docs}")
+    marker = os.path.join(tmp_dir, f"_done_{n_docs}")
+    if not os.path.exists(marker):
+        synth_corpus(spark, n_docs).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        open(marker, "w").close()
+    docs = spark.read.parquet(data_dir)
+
+    t0 = time.time()
+    out = window_dedup_cut(docs, w=8, min_count=2)
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return n_docs, dt

@@ -2463,6 +2463,57 @@ def _sql_pagerank(iterations: int = 5, damping: int = 85, scale: int = 10**12) -
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over the link graph
+    (operators/hits.py): int64 fixed-point with granule L1
+    normalization — each half-step is one linear shuffle of the score
+    table plus one scalar aggregate (the pagerank discipline), so four
+    iterations stay bit-exact and the DuckDB oracle unrolls the whole
+    recurrence to the last unit."""
+    from webindex_spark.operators.hits import hits
+
+    out = hits(
+        link_edges(spark, sf_dir), src="src_uri", dst="dst_uri", iterations=4
+    )
+    return out.withColumnRenamed("id", "uri")
+
+
+def _sql_hits(iterations: int = 4, scale: int = 10**9) -> str:
+    # every CTE is MATERIALIZED: the recurrence references each vector
+    # 2-3x, and DuckDB's default inlining re-evaluates the whole
+    # sub-chain per reference — ~4^k edge scans by iteration k
+    # (measured 72 s at sf0.001; materialized: sub-second)
+    sql = (
+        f"WITH edges AS MATERIALIZED ({_SQL_EDGES}), "
+        "nodes AS (SELECT src_uri AS id FROM edges UNION SELECT dst_uri FROM edges), "
+        "srcs AS MATERIALIZED (SELECT DISTINCT src_uri AS id FROM edges), "
+        "ns AS (SELECT COUNT(*) AS n FROM srcs), "
+        f"h0 AS MATERIALIZED (SELECT id, CAST({scale} // n AS BIGINT) AS h FROM srcs, ns)"
+    )
+    for k in range(1, iterations + 1):
+        sql += (
+            f", ar{k} AS MATERIALIZED (SELECT e.dst_uri AS id, SUM(p.h) AS raw "
+            f"FROM edges e JOIN h{k - 1} p ON p.id = e.src_uri GROUP BY 1)"
+            f", at{k} AS (SELECT GREATEST(1, COALESCE(SUM(raw), 0) // {scale}) AS g "
+            f"FROM ar{k})"
+            f", a{k} AS MATERIALIZED (SELECT id, CAST(raw // g AS BIGINT) AS a FROM ar{k}, at{k})"
+            f", hr{k} AS MATERIALIZED (SELECT e.src_uri AS id, SUM(p.a) AS raw "
+            f"FROM edges e JOIN a{k} p ON p.id = e.dst_uri GROUP BY 1)"
+            f", ht{k} AS (SELECT GREATEST(1, COALESCE(SUM(raw), 0) // {scale}) AS g "
+            f"FROM hr{k})"
+            f", h{k} AS MATERIALIZED (SELECT id, CAST(raw // g AS BIGINT) AS h FROM hr{k}, ht{k})"
+        )
+    return sql + (
+        f" SELECT nodes.id AS uri, COALESCE(h{iterations}.h, 0) AS hub, "
+        f"COALESCE(a{iterations}.a, 0) AS auth FROM nodes "
+        f"LEFT JOIN h{iterations} ON h{iterations}.id = nodes.id "
+        f"LEFT JOIN a{iterations} ON a{iterations}.id = nodes.id"
+    )
+
+
+SQL_HITS = _sql_hits()
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream
     (operators/sessions.py): 30-minute inactivity gap, per-user lag +
@@ -3530,6 +3581,7 @@ QUERIES: dict = {
     # crawl-analytics lane (round 5): eigenvector centrality over the
     # link graph, gap sessionization over the event stream
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hits": (q_hits, SQL_HITS),
     "sessions": (q_sessions, SQL_SESSIONS),
     # sketch + temporal-join lane (round 5): mergeable approximate
     # structures with bit-exact oracle replay, and the as-of join
