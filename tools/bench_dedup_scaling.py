@@ -12,8 +12,12 @@ hashes → duplicate dictionary (with keeper coordinates) → broadcast
 mark → in-row rebuild — one corpus shuffle plus the dictionary
 aggregate, the plan whose efficiency the north rule cares about.
 
-Usage:  python tools/bench_dedup_scaling.py [--quick]
+Usage:  python tools/bench_dedup_scaling.py [--quick|--big]
   --quick    30k docs, 1 round, 1 pass   (~3 min)
+  --big      300k docs, 2 rounds, best of 2 passes (~12 min) — the
+             compute-bound size: at 100k the 4N level finishes in ~7 s
+             and fixed overhead (checkpoint barriers, broadcast, stage
+             scheduling) still eats ~30% of the window
 (no flags)   100k docs, 2 rounds, best of 2 passes
 
 Output: one JSON summary line (consumed into BENCH/BASELINE.md).
@@ -76,7 +80,7 @@ starting a long run."""
 
 
 def main():
-    known = {"--quick"}
+    known = {"--quick", "--big"}
     extra = [a for a in sys.argv[1:] if a not in known]
     if extra:
         print(USAGE, file=sys.stderr)
@@ -84,7 +88,7 @@ def main():
             0 if extra[0] in ("-h", "--help") else f"unknown argument: {extra[0]}"
         )
     quick = "--quick" in sys.argv
-    n_docs = 30_000 if quick else 100_000
+    n_docs = 30_000 if quick else (300_000 if "--big" in sys.argv else 100_000)
     passes = 1 if quick else 2
     rounds = 1 if quick else 2
 

@@ -1,0 +1,133 @@
+"""k-core peeling and BFS hop distances — the remaining two members of
+the graph-analytics lane (centrality: pagerank/hits; counting:
+triangles/butterflies; components: dup_clusters; THIS: decomposition +
+reachability).
+
+Both are bounded-round iterative jobs in the pagerank discipline: the
+working set is checkpointed per round (lineage truncation), each round
+is a constant number of linear shuffles, and the recurrences are pure
+integer functions so the DuckDB oracle unrolls them exactly.
+
+* :func:`kcore_peel` — R rounds of "delete every node with degree < k
+  (and its edges)".  After enough rounds the survivor set IS the
+  k-core; with bounded R the result is still exactly defined (the
+  oracle unrolls the same R rounds) and the returned ``converged``
+  flag says whether a fixpoint was reached — same contract as
+  components.py's bounded large-star/small-star rounds.
+* :func:`hop_distances` — multi-source BFS: minimum link distance from
+  a seed set, R rounds of frontier relaxation.  The crawl-planning
+  question ("how deep past the seeds does the frontier reach?") over
+  the page→resource graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Peel nodes of degree < ``k`` for ``rounds`` rounds over the
+    undirected simple graph.  Returns ``(id, degree, in_core,
+    converged)``: every ORIGINAL node, its surviving degree (0 if
+    peeled), membership after the final round, and whether the last
+    round removed nothing (same scalar-probe class as the components
+    convergence check)."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e0.select(F.col("a").alias("id"))
+        .union(e0.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e0
+    converged = False
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .union(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("id").localCheckpoint(eager=True)
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "a"), "a")
+            .join(keep.withColumnRenamed("id", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        # one scalar per round: did the edge set shrink?
+        if e2.count() == e.count():
+            e = e2
+            converged = True
+            break
+        e = e2
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return all_nodes.join(deg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        (F.coalesce(F.col("degree"), F.lit(0)) >= k).alias("in_core"),
+        F.lit(converged).alias("converged"),
+    )
+
+
+def hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: ``(id, dist)`` — the minimum number of link
+    hops from any seed, for every node within ``rounds`` hops (nodes
+    beyond the horizon are absent; callers left-join if they want
+    sentinel rows).  ``seeds`` is a one-column DataFrame of node ids.
+
+    Each round relaxes the CURRENT frontier only (newly-reached nodes)
+    — the standard distributed BFS where round r shuffles frontier ×
+    out-edges, not the whole distance table."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    e = e.distinct().repartition("u").localCheckpoint(eager=True)
+    dist = (
+        seeds.toDF("id").distinct()
+        .select("id", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for r in range(1, rounds + 1):
+        reached = (
+            e.join(frontier, e.u == frontier.id)
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(r).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if reached.isEmpty():
+            break
+        dist = dist.union(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return dist

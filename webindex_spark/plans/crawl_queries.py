@@ -2978,6 +2978,119 @@ SQL_STREAM_JOIN = (
 )
 
 
+# ------------------------------------------------ graph decomposition lane
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 5
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/kcore.kcore_peel) on the 1009-node
+    host projection: 5 rounds of delete-degree-<k, bounded-round
+    contract like the components operator (the oracle unrolls the same
+    rounds; `converged` reports whether a fixpoint was reached).  k=90
+    peels a meaningful shell at sf0.01 without emptying the graph."""
+    from webindex_spark.operators.kcore import kcore_peel
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("n"), s(F.pmod(F.col("o_custkey"), F.lit(1009)))).alias("src"),
+        F.concat(F.lit("n"), s(F.pmod(F.col("l_partkey"), F.lit(1009)))).alias("dst"),
+    )
+    return kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_SQL_HOST_EDGES = (
+    "SELECT 'n' || CAST(o_custkey % 1009 AS VARCHAR) AS s, "
+    "'n' || CAST(l_partkey % 1009 AS VARCHAR) AS t "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+)
+
+
+def _sql_kcore(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    sql = (
+        f"WITH raw AS ({_SQL_HOST_EDGES}), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b "
+        "FROM raw WHERE s <> t), "
+        "nodes AS MATERIALIZED (SELECT a AS id FROM e0 UNION SELECT b FROM e0)"
+    )
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        sql += (
+            f", d{r} AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM "
+            f"(SELECT a AS id FROM {p} UNION ALL SELECT b FROM {p}) GROUP BY 1)"
+            f", k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE d >= {k})"
+            f", e{r} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e "
+            f"JOIN k{r} x ON e.a = x.id JOIN k{r} y ON e.b = y.id)"
+        )
+    conv = " OR ".join(
+        f"(SELECT COUNT(*) FROM e{r}) = (SELECT COUNT(*) FROM e{r - 1})"
+        for r in range(1, rounds + 1)
+    )
+    last = f"e{rounds}"
+    return sql + (
+        f", fd AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM "
+        f"(SELECT a AS id FROM {last} UNION ALL SELECT b FROM {last}) GROUP BY 1) "
+        "SELECT n.id, COALESCE(fd.degree, 0) AS degree, "
+        f"COALESCE(fd.degree, 0) >= {k} AS in_core, "
+        f"({conv}) AS converged "
+        "FROM nodes n LEFT JOIN fd ON fd.id = n.id"
+    )
+
+
+SQL_KCORE = _sql_kcore()
+
+_BFS_ROUNDS = 4
+_BFS_SEED_PREFIX = "com.h7>>"
+
+
+def q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/kcore.hop_distances): link distance
+    from host com.h7's pages over the UNDIRECTED link graph, 4 rounds —
+    the crawl-planning "how deep past the seeds does the frontier
+    reach" query.  Round r shuffles frontier × edges only (newly
+    reached nodes), never the whole distance table."""
+    from webindex_spark.operators.kcore import hop_distances
+
+    e = link_edges(spark, sf_dir)
+    seeds = (
+        e.where(F.col("src_uri").startswith(_BFS_SEED_PREFIX))
+        .select(F.col("src_uri").alias("id"))
+        .distinct()
+    )
+    return hop_distances(
+        e, seeds, rounds=_BFS_ROUNDS, src="src_uri", dst="dst_uri",
+        directed=False,
+    )
+
+
+def _sql_bfs(rounds: int = _BFS_ROUNDS) -> str:
+    sql = (
+        f"WITH ed AS ({_SQL_EDGES}), "
+        "e AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src_uri AS u, dst_uri AS v FROM ed "
+        "UNION ALL SELECT dst_uri AS u, src_uri AS v FROM ed)), "
+        "d0 AS MATERIALIZED (SELECT DISTINCT src_uri AS id, CAST(0 AS BIGINT) AS dist "
+        f"FROM ed WHERE src_uri LIKE '{_BFS_SEED_PREFIX}%'), "
+        "f0 AS (SELECT id FROM d0)"
+    )
+    for r in range(1, rounds + 1):
+        sql += (
+            f", n{r} AS MATERIALIZED (SELECT DISTINCT e.v AS id FROM e "
+            f"JOIN f{r - 1} f ON e.u = f.id "
+            f"WHERE e.v NOT IN (SELECT id FROM d{r - 1}))"
+            f", d{r} AS MATERIALIZED (SELECT id, dist FROM d{r - 1} "
+            f"UNION ALL SELECT id, CAST({r} AS BIGINT) FROM n{r})"
+            f", f{r} AS (SELECT id FROM n{r})"
+        )
+    return sql + f" SELECT id, dist FROM d{rounds}"
+
+
+SQL_BFS_DEPTH = _sql_bfs()
+
+
 # ---------------------------------------------------- OLAP breadth lane
 
 
@@ -3615,4 +3728,7 @@ QUERIES: dict = {
     # decayed metrics + layout clustering (round 5)
     "ewma": (q_ewma, SQL_EWMA),
     "zorder": (q_zorder, SQL_ZORDER),
+    # graph decomposition + reachability (round 5)
+    "kcore": (q_kcore, SQL_KCORE),
+    "bfs_depth": (q_bfs_depth, SQL_BFS_DEPTH),
 }
