@@ -30,7 +30,9 @@ def _force(df) -> None:
 # commits), not a data-path rate — timing it here would triple the suite
 # total while measuring nothing about operator throughput.  It stays in
 # QUERIES, so the correctness driver still runs it against its oracle.
-BENCH_SKIP = {"stream_uri_counts", "stream_event_rollup", "stream_join"}
+BENCH_SKIP = {
+    "stream_uri_counts", "stream_event_rollup", "stream_join", "stream_dedup",
+}
 
 
 def run_queries(spark, sf_dir: str, warmup: bool = True) -> dict[str, float]:

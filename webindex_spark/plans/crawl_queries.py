@@ -2978,6 +2978,89 @@ SQL_STREAM_JOIN = (
 )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under the oracle (streaming/event_stream
+    .dedup_stream): the events table replayed TWICE — each ts-quartile
+    file immediately followed by a byte-identical duplicate file — and
+    ``dropDuplicatesWithinWatermark(event_id)`` must emit each event
+    exactly once.  Every duplicate arrives one micro-batch after its
+    original (well inside the 30-day delay vs the ~7.5-day file span),
+    so no duplicate can outlive the dedup state; the oracle is the
+    plain per-type rollup of the UN-duplicated table.  The result also
+    proves the drop happened: counts match events, not 2x events."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from webindex_spark.streaming.event_stream import dedup_stream
+
+    root = tempfile.mkdtemp(prefix="wix-dedupstream-gate-")
+    name = "wix_stream_dedup"
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vs"),
+        )
+        outd = os.path.join(root, "w")
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(outd)
+        input_dir = os.path.join(root, "in")
+        os.makedirs(input_dir)
+        parts = sorted(
+            f for f in os.listdir(outd)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        now = time.time()
+        seq = 0
+        for part in parts:
+            srcf = os.path.join(outd, part)
+            orig = os.path.join(input_dir, f"batch-{seq}.parquet")
+            shutil.copyfile(srcf, orig)
+            os.utime(orig, (now + seq, now + seq))
+            seq += 1
+            dup = os.path.join(input_dir, f"batch-{seq}.parquet")
+            os.replace(srcf, dup)
+            os.utime(dup, (now + seq, now + seq))
+            seq += 1
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            dedup_stream(stream, keys=["event_id"], watermark="30 days")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("event_id").cast("long").alias("n_distinct"),
+                (F.sum("vs") / 1000.0).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_DEDUP = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0 "
+    "AS total_value FROM events GROUP BY 1"
+)
+
+
 # ------------------------------------------------ graph decomposition lane
 
 _KCORE_K = 80
@@ -3719,6 +3802,7 @@ QUERIES: dict = {
     # native stream-stream interval join, certified against the batch
     # interval-join oracle (watermark > lookback => no eviction loss)
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     # OLAP breadth lane (round 5): grouping sets, pivot, behavioral
     # analytics (cohort retention, sequential funnel)
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),

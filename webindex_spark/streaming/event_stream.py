@@ -107,6 +107,24 @@ def purchase_view_join(
     ).select("user_id", "event_id", "ts", "vid", "vts", "vs")
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the FIRST occurrence plus the delay — bounded
+    state, unlike plain ``dropDuplicates`` on a stream (which retains
+    every key forever).  A duplicate is guaranteed dropped iff it
+    arrives within ``watermark`` of the first copy's event time; size
+    the delay above the source's duplication lag (the replay harness
+    proves its own bound the same way stream_join does)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
 _OUT_SCHEMA = T.StructType(
     [
