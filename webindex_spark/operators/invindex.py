@@ -25,6 +25,69 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def prefix_suggestions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_prefix: int = 5,
+    top_k: int = 5,
+) -> DataFrame:
+    """Search-suggest index: for every term prefix (length 1..
+    ``max_prefix``), the ``top_k`` corpus terms by total frequency —
+    ``(prefix, n_terms, suggest)`` with the suggestion list as an
+    ordered comma string.
+
+    Shape: ONE corpus shuffle (the per-term tf aggregate, map-side
+    combined); the prefix explosion (≤ max_prefix rows per DISTINCT
+    term) runs on the vocabulary-sized table, so a billion-document
+    corpus pays vocabulary cost for the entire suggest build.  Top-k
+    per prefix is the WindowGroupLimit pair again.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    tf = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # vocab-sized; 2 downstream branches
+    )
+    pref = tf.select(
+        "term",
+        "tf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("term"), F.lit(max_prefix))),
+                lambda i: F.col("term").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("prefix").orderBy(F.desc("tf"), F.asc("term"))
+    )
+    ranked = pref.withColumn("rn", rn)
+    stats = ranked.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    top = (
+        ranked.where(F.col("rn") <= top_k)
+        .groupBy("prefix")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "term"))),
+                    lambda x: x["term"],
+                ),
+                ",",
+            ).alias("suggest")
+        )
+    )
+    return stats.join(top, "prefix")
+
+
 def inverted_postings(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3061,6 +3061,58 @@ SQL_STREAM_DEDUP = (
 )
 
 
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-suggest index (operators/invindex.prefix_suggestions):
+    top-5 corpus terms per prefix (lengths 1-5) — one corpus shuffle
+    for the term frequencies, then vocabulary-sized work end to end
+    (the billion-doc corpus pays vocab cost for the suggest build)."""
+    from webindex_spark.operators.invindex import prefix_suggestions
+
+    return prefix_suggestions(_docs(spark, sf_dir), max_prefix=5, top_k=5)
+
+
+SQL_SUGGEST = (
+    "WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array("
+    "lower(trim(text)), '\\s+'), tk -> length(tk) > 0)) AS term FROM documents), "
+    "tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1), "
+    "pref AS (SELECT term, tf, unnest(list_transform("
+    "range(1, least(length(term), 5) + 1), i -> term[1:i])) AS prefix FROM tf), "
+    "r AS (SELECT prefix, term, tf, ROW_NUMBER() OVER (PARTITION BY prefix "
+    "ORDER BY tf DESC, term) AS rn FROM pref), "
+    "s AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_terms FROM pref GROUP BY 1), "
+    "t AS (SELECT prefix, string_agg(term, ',' ORDER BY rn) AS suggest "
+    "FROM r WHERE rn <= 5 GROUP BY 1) "
+    "SELECT s.prefix, s.n_terms, t.suggest FROM s JOIN t USING (prefix)"
+)
+
+_SNIPPET_TERM = "spark"
+_SNIPPET_CTX = 30
+_SNIPPET_LEN = 80
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-snippet extraction — the serving-path map-only op: for
+    documents containing the query term, the first match position and
+    a fixed context window around it.  Pure string built-ins
+    (locate/substring), zero shuffle, pushed predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.locate(_SNIPPET_TERM, F.lower(F.col("text")))
+    start = F.greatest(F.lit(1), pos - _SNIPPET_CTX)
+    return docs.where(pos > 0).select(
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        F.substring(F.col("text"), start, F.lit(_SNIPPET_LEN)).alias("snippet"),
+    )
+
+
+SQL_SNIPPETS = (
+    f"SELECT doc_id, CAST(strpos(lower(text), '{_SNIPPET_TERM}') AS BIGINT) AS pos, "
+    f"substr(text, GREATEST(1, strpos(lower(text), '{_SNIPPET_TERM}') - {_SNIPPET_CTX}), "
+    f"{_SNIPPET_LEN}) AS snippet "
+    f"FROM documents WHERE strpos(lower(text), '{_SNIPPET_TERM}') > 0"
+)
+
+
 # ------------------------------------------------ graph decomposition lane
 
 _KCORE_K = 80
@@ -3815,4 +3867,7 @@ QUERIES: dict = {
     # graph decomposition + reachability (round 5)
     "kcore": (q_kcore, SQL_KCORE),
     "bfs_depth": (q_bfs_depth, SQL_BFS_DEPTH),
+    # serving-path text ops (round 5): suggest index, snippets
+    "suggest": (q_suggest, SQL_SUGGEST),
+    "snippets": (q_snippets, SQL_SNIPPETS),
 }
