@@ -3113,6 +3113,97 @@ SQL_SNIPPETS = (
 )
 
 
+# ------------------------------------------------ engine management lane
+
+_STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"]
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (operators/checks.table_stats):
+    min/max/null/distinct per column of ``orders`` in ONE aggregate
+    pass (all accumulators fold in the same partial-agg pipeline —
+    the scan happens once regardless of column count).  Exact ndv for
+    the oracle; at 100 TB the same plan swaps approx_count_distinct."""
+    from webindex_spark.operators.checks import table_stats
+
+    return table_stats(_t(spark, sf_dir, "orders"), _STATS_COLS)
+
+
+SQL_TABLE_STATS = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    f"CAST(MIN({c}) AS VARCHAR) AS min_str, CAST(MAX({c}) AS VARCHAR) AS max_str "
+    "FROM orders"
+    for c in _STATS_COLS
+)
+
+_CHECKS = [
+    ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+    ("quantity_positive", "l_quantity > 0"),
+    ("discount_in_range", "l_discount >= 0.0 AND l_discount <= 0.1"),
+    ("tax_under_five_pct", "l_tax < 0.05"),          # deliberately violated
+    ("status_enumerated", "l_linestatus IN ('O', 'F')"),
+]
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite (operators/checks
+    .run_checks): five predicates over lineitem compiled into ONE
+    conditional-count aggregate pass (N constraints, one scan); the
+    tax bound is deliberately violated so both verdict paths are
+    certified."""
+    from webindex_spark.operators.checks import run_checks
+
+    return run_checks(_t(spark, sf_dir, "lineitem"), _CHECKS)
+
+
+SQL_DQ_CHECKS = " UNION ALL ".join(
+    f"SELECT '{name}' AS check, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT) AS n_violations, "
+    f"SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) = 0 AS passed "
+    "FROM lineitem"
+    for name, pred in _CHECKS
+)
+
+
+def q_fk_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity coverage (operators/checks.fk_coverage):
+    lineitem→orders (holds by construction) and orders→events-users
+    (deliberately orphaned: only 150 event users exist), each a
+    broadcast left-anti join — both verdict paths certified."""
+    from webindex_spark.operators.checks import fk_coverage
+
+    a = fk_coverage(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey",
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+    ).select(F.lit("lineitem_orderkey_in_orders").alias("fk"), "*")
+    b = fk_coverage(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "events"), "user_id",
+    ).select(F.lit("orders_custkey_in_event_users").alias("fk"), "*")
+    return a.unionAll(b)
+
+
+SQL_FK_CHECKS = (
+    "SELECT 'lineitem_orderkey_in_orders' AS fk, "
+    "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child, "
+    "CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) "
+    "AS n_orphans, "
+    "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 AS passed "
+    "UNION ALL "
+    "SELECT 'orders_custkey_in_event_users', "
+    "CAST((SELECT COUNT(*) FROM orders) AS BIGINT), "
+    "CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)) AS BIGINT), "
+    "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)) = 0"
+)
+
+
 # ------------------------------------------------ graph decomposition lane
 
 _KCORE_K = 80
@@ -3870,4 +3961,8 @@ QUERIES: dict = {
     # serving-path text ops (round 5): suggest index, snippets
     "suggest": (q_suggest, SQL_SUGGEST),
     "snippets": (q_snippets, SQL_SNIPPETS),
+    # engine management (round 5): ANALYZE stats, dq constraints, fk
+    "table_stats": (q_table_stats, SQL_TABLE_STATS),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
+    "fk_checks": (q_fk_checks, SQL_FK_CHECKS),
 }
