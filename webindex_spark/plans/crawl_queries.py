@@ -3113,6 +3113,75 @@ SQL_SNIPPETS = (
 )
 
 
+# ------------------------------------------------- SQL surface breadth
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one certified pass: row_number,
+    ntile, percent_rank, cume_dist, lag/lead deltas per user over
+    (ts, event_id) order — one exchange, one sort, every function
+    sharing the same window frame.  Ratio outputs are divisions of
+    identical integer operands in both engines, hence bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (us - F.lag(us).over(w)).cast("long").alias("gap_prev_us"),
+        (F.lead(us).over(w) - us).cast("long").alias("gap_next_us"),
+    )
+
+
+SQL_WINDOW_SUITE = (
+    "SELECT user_id, event_id, "
+    "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+    "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, "
+    "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, "
+    "ROUND(CUME_DIST() OVER w, 6) AS cume, "
+    "CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_prev_us, "
+    "CAST(LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS BIGINT) AS gap_next_us "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT distinct semantics (the §2.7 gap beyond
+    unions): purchasing vs viewing day-cohort sets (single-day slices so the differences are
+    non-trivial), each branch tagged and
+    re-unioned so one result certifies both operators (plus the
+    right-side EXCEPT for the asymmetric case)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    p = ev.where((F.col("event_type") == "purchase") & (day == "2024-01-05")).select("user_id")
+    v = ev.where((F.col("event_type") == "view") & (day == "2024-01-05")).select("user_id")
+    s = ev.where((F.col("event_type") == "signup") & (day == "2024-01-06")).select("user_id")
+    both = p.intersect(v).select(F.lit("purchase_and_view").alias("op"), "user_id")
+    only_p = p.subtract(s).select(F.lit("purchase_minus_signup").alias("op"), "user_id")
+    only_s = s.subtract(p).select(F.lit("signup_minus_purchase").alias("op"), "user_id")
+    return both.unionAll(only_p).unionAll(only_s)
+
+
+SQL_SET_OPS = (
+    "WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase' "
+    "AND CAST(ts AS DATE) = DATE '2024-01-05'), "
+    "v AS (SELECT user_id FROM events WHERE event_type = 'view' "
+    "AND CAST(ts AS DATE) = DATE '2024-01-05'), "
+    "s AS (SELECT user_id FROM events WHERE event_type = 'signup' "
+    "AND CAST(ts AS DATE) = DATE '2024-01-06') "
+    "SELECT 'purchase_and_view' AS op, user_id FROM "
+    "(SELECT user_id FROM p INTERSECT SELECT user_id FROM v) "
+    "UNION ALL SELECT 'purchase_minus_signup', user_id FROM "
+    "(SELECT user_id FROM p EXCEPT SELECT user_id FROM s) "
+    "UNION ALL SELECT 'signup_minus_purchase', user_id FROM "
+    "(SELECT user_id FROM s EXCEPT SELECT user_id FROM p)"
+)
+
+
 # ------------------------------------------------ engine management lane
 
 _STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -3962,6 +4031,8 @@ QUERIES: dict = {
     "suggest": (q_suggest, SQL_SUGGEST),
     "snippets": (q_snippets, SQL_SNIPPETS),
     # engine management (round 5): ANALYZE stats, dq constraints, fk
+    "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
     "table_stats": (q_table_stats, SQL_TABLE_STATS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "fk_checks": (q_fk_checks, SQL_FK_CHECKS),
