@@ -3182,6 +3182,38 @@ SQL_SET_OPS = (
 )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: the events ``props`` JSON parsed BOTH
+    ways Spark offers — path extraction (``get_json_object``, lazy
+    single-field) and schema projection (``from_json``, typed struct) —
+    certified equal to each other and to DuckDB's json_extract, plus a
+    per-type rollup of the extracted value.  Map-only + one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("long")
+    k_struct = F.from_json(F.col("props"), "k long")["k"].cast("long")
+    return (
+        ev.select("event_type", k_path.alias("k"), k_struct.alias("k2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") == F.col("k2")).cast("long")).alias("paths_agree"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+    "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k, "
+    "CAST(COUNT(*) AS BIGINT) AS paths_agree "
+    "FROM events GROUP BY 1"
+)
+
+
 # ------------------------------------------------ engine management lane
 
 _STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -4032,6 +4064,7 @@ QUERIES: dict = {
     "snippets": (q_snippets, SQL_SNIPPETS),
     # engine management (round 5): ANALYZE stats, dq constraints, fk
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "table_stats": (q_table_stats, SQL_TABLE_STATS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
