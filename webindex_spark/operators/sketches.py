@@ -213,3 +213,60 @@ def exact_quantiles(
         .groupBy("pct")
         .agg(F.min("v").alias("value"))
     )
+
+
+def interp_quantiles(
+    df: DataFrame, value_col: str, percents: list[int]
+) -> DataFrame:
+    """Exact ``percentile_cont`` (linear interpolation) on the same
+    distributed value-histogram machinery as :func:`exact_quantiles`.
+
+    The interpolation position ``h = (n-1)·pct/100`` is kept INTEGER:
+    ``h_num = (n-1)·pct``, rank_lo = ``h_num div 100 + 1``, and the
+    fractional weight is ``h_num mod 100`` hundredths — so both
+    engines pick identical bracketing ranks, and the one float
+    operation (``lo + frac·(hi-lo)/100``) runs on identical operands.
+    Returns ``(pct, value)`` with value rounded to 6 digits.
+    """
+    from webindex_spark.operators.curation import distributed_cumsum
+
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cum = distributed_cumsum(hist, "v", "n", "cum")
+    total = hist.agg(F.sum("n").cast("long").alias("tot"))
+    pcts = df.sparkSession.createDataFrame(
+        [(int(p),) for p in percents], "pct int"
+    )
+    ranks = (
+        pcts.crossJoin(F.broadcast(total))
+        .select(
+            "pct",
+            "tot",
+            ((F.col("tot") - 1) * F.col("pct")).alias("h_num"),
+        )
+        .select(
+            "pct",
+            (F.expr("h_num div 100") + 1).alias("rank_lo"),
+            F.least(F.expr("h_num div 100") + 2, F.col("tot")).alias("rank_hi"),
+            F.pmod(F.col("h_num"), F.lit(100)).cast("long").alias("frac"),
+        )
+    )
+    lo = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank_lo"))
+        .groupBy("pct", "frac")
+        .agg(F.min("v").alias("lo"))
+    )
+    hi = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank_hi"))
+        .groupBy("pct")
+        .agg(F.min("v").alias("hi"))
+    )
+    return lo.join(hi, "pct").select(
+        "pct",
+        F.round(
+            F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo")) / 100.0, 6
+        ).alias("value"),
+    )

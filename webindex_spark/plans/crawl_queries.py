@@ -3113,6 +3113,38 @@ SQL_SNIPPETS = (
 )
 
 
+def q_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_cont (operators/sketches.interp_quantiles):
+    interpolation positions kept integer (h_num div/mod 100) so both
+    engines bracket identical ranks; the single float op runs on
+    identical operands.  Same distributed histogram + two-phase prefix
+    sum as the disc gate — no single-task window."""
+    from webindex_spark.operators.sketches import interp_quantiles
+
+    return interp_quantiles(
+        _t(spark, sf_dir, "orders").select("o_totalprice"),
+        "o_totalprice",
+        [10, 25, 50, 75, 90, 99],
+    )
+
+
+SQL_QUANTILES_CONT = (
+    "WITH v AS (SELECT o_totalprice AS v, COUNT(*) AS n FROM orders GROUP BY 1), "
+    "c AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM v), "
+    "t AS (SELECT SUM(n) AS tot FROM v), "
+    "k AS (SELECT * FROM (VALUES (10),(25),(50),(75),(90),(99)) kk(pct)), "
+    "r AS (SELECT pct, (tot - 1) * pct AS h_num, "
+    "((tot - 1) * pct) // 100 + 1 AS rank_lo, "
+    "LEAST(((tot - 1) * pct) // 100 + 2, tot) AS rank_hi, "
+    "CAST(((tot - 1) * pct) % 100 AS BIGINT) AS frac FROM k, t), "
+    "lo AS (SELECT pct, frac, MIN(v) AS lo FROM c, r WHERE cum >= rank_lo "
+    "GROUP BY 1, 2), "
+    "hi AS (SELECT pct, MIN(v) AS hi FROM c, r WHERE cum >= rank_hi GROUP BY 1) "
+    "SELECT lo.pct, ROUND(lo + frac * (hi - lo) / 100.0, 6) AS value "
+    "FROM lo JOIN hi USING (pct)"
+)
+
+
 # ------------------------------------------------- SQL surface breadth
 
 
@@ -4030,6 +4062,7 @@ QUERIES: dict = {
     "hll_distinct": (q_hll_hosts, SQL_HLL_HOSTS),
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
+    "quantiles_cont": (q_quantiles_cont, SQL_QUANTILES_CONT),
     "asof_join": (q_asof_events, SQL_ASOF_EVENTS),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "butterflies": (q_butterflies, SQL_BUTTERFLIES),
