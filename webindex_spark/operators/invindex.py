@@ -88,6 +88,83 @@ def prefix_suggestions(
     return stats.join(top, "prefix")
 
 
+def fuzzy_term_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Edit-distance-1 term pairs via the symmetric-delete trick
+    (SymSpell): two terms are within one edit iff they share a
+    single-deletion variant (or one IS the other's variant), so the
+    candidate set is a bucket join on deletion variants — never an
+    all-pairs comparison.  The spell-correction / query-normalization
+    primitive of a search tier.
+
+    Returns ``(term_a, term_b, dist)`` with ``term_a < term_b`` and
+    ``dist`` the exact levenshtein (1 after the verify filter; the
+    built-in runs JVM-side in both engines).
+
+    Scale shape: variants explode ≤ len+1 rows per DISTINCT term
+    (vocabulary cost, like the suggest build); the variant bucket join
+    carries the lsh_candidates ``max_bucket`` guard — a variant shared
+    by thousands of terms (short strings) is dropped whole rather than
+    expanded quadratically; pairs are emitted JVM-side from the sorted
+    in-bucket array.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    terms = (
+        docs.select(F.explode(toks).alias("term")).distinct()
+        .localCheckpoint(eager=True)  # vocab-sized; variants + verify
+    )
+    # variants: the term itself (deletion at "no position") plus each
+    # single-character deletion — concat of the prefix and suffix
+    variants = terms.select(
+        "term",
+        F.explode(
+            F.array_union(
+                F.array(F.col("term")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("term")),
+                    lambda i: F.concat(
+                        F.col("term").substr(F.lit(1), i - 1),
+                        F.col("term").substr(i + 1, F.length("term")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    buckets = variants.groupBy("v").agg(
+        F.array_sort(F.collect_set("term")).alias("ts")
+    )
+    kept = buckets.where(
+        (F.size("ts") >= 2) & (F.size("ts") <= max_bucket)
+    )
+    ts = F.col("ts")
+    combos = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + F.lit(2), F.size(ts) - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        kept.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .distinct()
+    )
+    return pairs.select(
+        "term_a",
+        "term_b",
+        F.levenshtein("term_a", "term_b").cast("long").alias("dist"),
+    ).where(F.col("dist") == 1)
+
+
 def inverted_postings(
     docs: DataFrame,
     id_col: str = "doc_id",

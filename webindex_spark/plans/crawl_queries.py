@@ -3145,6 +3145,52 @@ SQL_QUANTILES_CONT = (
 )
 
 
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy term matching (operators/invindex
+    .fuzzy_term_pairs): edit-distance-1 vocabulary pairs via the
+    symmetric-delete bucket join (never all-pairs; lsh max_bucket
+    guard) + exact levenshtein verify, both JVM built-ins.  The corpus
+    vocabulary has no natural dist-1 pairs, so each document appends a
+    deterministic typo of one of its own first five tokens (first-char
+    deletion or plural insertion by doc_id parity) — typo↔word AND
+    typo↔typo pairs (e.g. park↔part) exercise both bucket shapes."""
+    from webindex_spark.operators.invindex import fuzzy_term_pairs
+
+    docs = _docs(spark, sf_dir)
+    w = F.element_at(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    typo = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.substring(w, 2, 100)
+    ).otherwise(F.concat(w, F.lit("s")))
+    laced = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), typo).alias("text")
+    )
+    return fuzzy_term_pairs(laced)
+
+
+SQL_FUZZY_TERMS = (
+    "WITH laced AS (SELECT doc_id, text || ' ' || "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "split_part(lower(trim(text)), ' ', CAST(doc_id % 5 + 1 AS INT))[2:] "
+    "ELSE split_part(lower(trim(text)), ' ', CAST(doc_id % 5 + 1 AS INT)) || 's' "
+    "END AS text FROM documents), "
+    "tok AS (SELECT DISTINCT unnest(list_filter(regexp_split_to_array("
+    "lower(trim(text)), '\\s+'), tk -> length(tk) > 0)) AS term FROM laced), "
+    "var AS (SELECT term, unnest(list_distinct(list_prepend(term, "
+    "list_transform(range(1, length(term) + 1), "
+    "i -> term[1:i-1] || term[i+1:length(term)])))) AS v FROM tok), "
+    "b AS (SELECT v, COUNT(DISTINCT term) AS c FROM var GROUP BY 1), "
+    "k AS (SELECT v FROM b WHERE c BETWEEN 2 AND 200), "
+    "m AS (SELECT DISTINCT var.v, var.term FROM var JOIN k USING (v)), "
+    "p AS (SELECT DISTINCT a.term AS term_a, b2.term AS term_b "
+    "FROM m a JOIN m b2 ON a.v = b2.v AND a.term < b2.term) "
+    "SELECT term_a, term_b, CAST(levenshtein(term_a, term_b) AS BIGINT) AS dist "
+    "FROM p WHERE levenshtein(term_a, term_b) = 1"
+)
+
+
 # ------------------------------------------------- SQL surface breadth
 
 
@@ -4096,6 +4142,7 @@ QUERIES: dict = {
     "suggest": (q_suggest, SQL_SUGGEST),
     "snippets": (q_snippets, SQL_SNIPPETS),
     # engine management (round 5): ANALYZE stats, dq constraints, fk
+    "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "set_ops": (q_set_ops, SQL_SET_OPS),
