@@ -234,6 +234,55 @@ def test_repetition_stats_match_python(spark):
     assert got[1]["rep_pass"] is True
 
 
+def test_fuzzy_term_pairs_symmetric_delete(spark):
+    from webindex_spark.operators.invindex import fuzzy_term_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spar sparc park cat cart card bat"),
+            (2, "completely unrelated vocabulary words"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["term_a"], r["term_b"]) for r in fuzzy_term_pairs(docs).collect()}
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = sorted(set(
+        "spark spar sparc park cat cart card bat completely unrelated "
+        "vocabulary words".split()
+    ))
+    exp = {(a, b) for a, b in itertools.combinations(vocab, 2) if lev(a, b) == 1}
+    assert got == exp
+    assert ("spar", "spark") in got and ("cart", "cat") in got
+    assert ("bat", "card") not in got       # distance 3
+
+
+def test_fuzzy_term_pairs_hot_bucket_guard(spark):
+    from webindex_spark.operators.invindex import fuzzy_term_pairs
+
+    # 30 single-char terms all share the '' deletion variant: with
+    # max_bucket below the bucket size the whole bucket is dropped and
+    # no quadratic expansion happens
+    text = " ".join(chr(ord("a") + i) for i in range(26)) + " aa ab"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = fuzzy_term_pairs(docs, max_bucket=10).collect()
+    # '' bucket (26 single chars) dropped; pairs via 'a'/'b' buckets
+    # like (a,aa),(a,ab),(aa,ab),(b,ab) survive
+    pairs = {(r["term_a"], r["term_b"]) for r in got}
+    assert ("a", "b") not in pairs          # only shared '' -> dropped
+    assert ("a", "aa") in pairs and ("aa", "ab") in pairs
+
+
 # ----------------------------------------------------- inverted postings
 
 
