@@ -4001,26 +4001,35 @@ SQL_WEIGHTED_SAMPLE = (
 
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census (operators/triangles.triangle_census) over
-    a 1009-node host projection of the order→part graph — degree
-    orientation bounds every out-neighborhood at O(√m) so the wedge
-    expansion needs no drop-based cap; the closing-edge probe joins on
-    the orientation key, JVM-side pair expansion throughout."""
+    a 2003-node host projection of a quarter-slice of the order→part
+    graph — degree orientation bounds every out-neighborhood at O(√m)
+    so the wedge expansion needs no drop-based cap; the closing-edge
+    probe joins on the orientation key, JVM-side pair expansion
+    throughout.  The slice + modulus keep the projection's DENSITY
+    stable across scale factors (a fixed small modulus saturates
+    toward a complete graph as the fact tables grow — a synthetic
+    artifact that made the old gate wedge-bound at sf0.1)."""
     from webindex_spark.operators.triangles import triangle_census
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = lambda c: c.cast("string")  # noqa: E731
-    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("n"), s(F.pmod(F.col("o_custkey"), F.lit(1009)))).alias("src"),
-        F.concat(F.lit("n"), s(F.pmod(F.col("l_partkey"), F.lit(1009)))).alias("dst"),
+    e = (
+        li.where(F.pmod(F.col("l_orderkey"), F.lit(4)) == 0)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("n"), s(F.pmod(F.col("o_custkey"), F.lit(2003)))).alias("src"),
+            F.concat(F.lit("n"), s(F.pmod(F.col("l_partkey"), F.lit(2003)))).alias("dst"),
+        )
     )
     return triangle_census(e, "src", "dst")
 
 
 SQL_TRIANGLES = (
-    "WITH raw AS (SELECT 'n' || CAST(o_custkey % 1009 AS VARCHAR) AS s, "
-    "'n' || CAST(l_partkey % 1009 AS VARCHAR) AS t "
-    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), "
+    "WITH raw AS (SELECT 'n' || CAST(o_custkey % 2003 AS VARCHAR) AS s, "
+    "'n' || CAST(l_partkey % 2003 AS VARCHAR) AS t "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_orderkey % 4 = 0), "
     "e AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM raw WHERE s <> t), "
     "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM "
     "(SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 1), "
