@@ -92,9 +92,12 @@ def main() -> None:
     )
     bench_jobs.image_verify_throughput_job(spark, 2_000)        # warm
     n_img, i_dt = bench_jobs.image_verify_throughput_job(spark, 40_000)
+    bench_jobs.dedup_throughput_job(spark, 20_000)              # warm
+    n_doc, d_dt = bench_jobs.dedup_throughput_job(spark, 100_000)
     throughput = {
         "frontier_urls_per_sec": round(n_urls / f_dt, 1),
         "image_verify_rows_per_sec": round(n_img / i_dt, 1),
+        "dedup_docs_per_sec": round(n_doc / d_dt, 1),
     }
 
     print(

@@ -307,6 +307,27 @@ def test_inverted_postings_caps_and_orders(spark):
     assert out["banana"]["posting"] == "2:2,1:1"
 
 
+def test_prefix_suggestions_rank_and_truncation(spark):
+    from webindex_spark.operators.invindex import prefix_suggestions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "car car car cart cat dog"),
+            (2, "car cab cabs dog dog dog dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["prefix"]: r for r in
+           prefix_suggestions(docs, max_prefix=3, top_k=2).collect()}
+    # 'ca' prefix covers car(4) cab(1) cabs(1) cart(1) cat(1): top2 by
+    # (tf desc, term asc) = car, cab; n_terms counts ALL matching terms
+    assert got["ca"]["suggest"] == "car,cab"
+    assert got["ca"]["n_terms"] == 5
+    assert got["d"]["suggest"] == "dog"
+    # prefixes longer than max_prefix are absent
+    assert "cart" not in got and "cab" in got
+
+
 # ------------------------------------------------------ priority sample
 
 

@@ -255,3 +255,50 @@ def dedup_throughput_job(
     out.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
     return n_docs, dt
+
+
+# ---------------------------------------------------- graph-lane throughput
+
+
+def synth_edges(
+    spark: SparkSession, n_edges: int, n_nodes: int
+) -> DataFrame:
+    """Deterministic random-ish directed edge list generated inside
+    Spark (hash-derived endpoints over ``spark.range`` — identical at
+    every parallelism level)."""
+    return spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)).alias("dst"),
+    )
+
+
+def pagerank_throughput_job(
+    spark: SparkSession,
+    n_edges: int,
+    iterations: int = 5,
+    tmp_dir: str = "/tmp/webindex_bench_edges",
+) -> tuple[int, float]:
+    """Returns (edge_iterations, wall_seconds) for the fixed-point
+    PageRank loop — the representative bounded-round iterative graph
+    job (two linear shuffles + one scalar probe per iteration, lineage
+    truncated each round).  Edge generation happens once into parquet
+    (untimed); nodes = n_edges // 10 keeps average degree ~10, a
+    web-like sparsity that does not saturate with size."""
+    import os
+
+    from webindex_spark.operators.pagerank import pagerank
+
+    data_dir = os.path.join(tmp_dir, f"data_{n_edges}")
+    marker = os.path.join(tmp_dir, f"_done_{n_edges}")
+    if not os.path.exists(marker):
+        synth_edges(spark, n_edges, max(n_edges // 10, 10)).repartition(
+            64
+        ).write.mode("overwrite").parquet(data_dir)
+        open(marker, "w").close()
+    edges = spark.read.parquet(data_dir)
+
+    t0 = time.time()
+    out = pagerank(edges, iterations=iterations)
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return n_edges * iterations, dt
