@@ -91,12 +91,16 @@ def pagerank(
         "id", "dangling", F.lit(scale // n).cast("long").alias("rank")
     )
     for _ in range(iterations):
-        dangling = (
-            ranks.filter("dangling")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
-            .first()[0]
+        # dangling mass as a broadcast 1-row aggregate instead of a
+        # driver .first() scalar — zero driver round-trips and zero
+        # extra jobs per iteration (the hits.py discipline; measured
+        # on the iterative-scaling harness where the per-iteration
+        # scalar job was a serialization point)
+        dsh = ranks.filter("dangling").agg(
+            F.expr(
+                f"({damping} * coalesce(sum(rank), 0)) div {100 * n} AS dshare"
+            )
         )
-        dshare = (damping * int(dangling)) // (100 * n)
         contribs = (
             adj.join(ranks, adj.src == ranks.id)
             .select(
@@ -108,10 +112,15 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dsh))
             .select(
                 "id",
                 "dangling",
-                (F.lit(base + dshare) + F.coalesce(F.col("c"), F.lit(0)))
+                (
+                    F.lit(base)
+                    + F.col("dshare")
+                    + F.coalesce(F.col("c"), F.lit(0))
+                )
                 .cast("long")
                 .alias("rank"),
             )
