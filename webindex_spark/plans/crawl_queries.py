@@ -3191,6 +3191,47 @@ SQL_FUZZY_TERMS = (
 )
 
 
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows — the surface tumbling
+    ``event_rollup`` doesn't cover: 1-hour windows every 15 minutes,
+    so each event lands in exactly 4 windows.  Spark's ``window()``
+    expands the assignment inline (no self-join); the oracle derives
+    the same 4 epoch-aligned window starts arithmetically per event."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.round(F.col("value") * 1000).cast("long")) / 1000.0)
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SQL_SLIDING_ROLLUP = (
+    # each event's 4 covering epoch-aligned windows: start slots
+    # floor(us/900e6) - k for k in 0..3 (window 3600s, slide 900s)
+    "WITH e AS (SELECT event_type, epoch_us(ts) AS us, "
+    "CAST(ROUND(value * 1000) AS BIGINT) AS vs FROM events), "
+    "x AS (SELECT event_type, us, vs, "
+    "(us // 900000000 - k.k) * 900000000 AS ws "
+    "FROM e, (SELECT unnest(range(0, 4)) AS k) k) "
+    "SELECT make_timestamp(ws) AS win_start, "
+    "make_timestamp(ws + 3600000000) AS win_end, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(vs) AS DOUBLE) / 1000.0 AS total_value "
+    "FROM x GROUP BY 1, 2, 3"
+)
+
+
 # ------------------------------------------------- SQL surface breadth
 
 
@@ -4152,6 +4193,7 @@ QUERIES: dict = {
     "snippets": (q_snippets, SQL_SNIPPETS),
     # engine management (round 5): ANALYZE stats, dq constraints, fk
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
+    "sliding_rollup": (q_sliding_rollup, SQL_SLIDING_ROLLUP),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "set_ops": (q_set_ops, SQL_SET_OPS),
