@@ -3232,6 +3232,95 @@ SQL_SLIDING_ROLLUP = (
 )
 
 
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates made cross-engine-exact: mean/variance/
+    stddev/covariance/correlation per event type, derived from INTEGER
+    moment sums (Σx, Σx², Σxy on value·1000 and the props k field) —
+    float accumulation order varies between engines, but deriving the
+    doubles from identical int64 operands is bit-exact.  One aggregate
+    pass; the moment-sum trick is also the mergeable/incremental form
+    (the sketch-lane discipline applied to classical statistics)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 1000).cast("long")
+    y = F.get_json_object("props", "$.k").cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    mean_x = F.col("sx") / n / 1000.0
+    var_x = (F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)) / 1e6
+    cov = (F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)) / 1000.0
+    var_y = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    corr = cov * 1000.0 / F.sqrt((var_x * 1e6) * var_y)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean_x, 6).alias("mean_value"),
+        F.round(var_x, 6).alias("var_value"),
+        F.round(F.sqrt(var_x), 6).alias("std_value"),
+        F.round(cov, 6).alias("cov_vk"),
+        F.round(corr, 6).alias("corr_vk"),
+    )
+
+
+SQL_MOMENTS = (
+    "WITH e AS (SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS x, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS y FROM events), "
+    "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(y * y) AS syy, "
+    "SUM(x * y) AS sxy FROM e GROUP BY 1) "
+    "SELECT event_type, n, "
+    "ROUND(sx / n / 1000.0, 6) AS mean_value, "
+    "ROUND((sxx / n - (sx / n) * (sx / n)) / 1e6, 6) AS var_value, "
+    "ROUND(sqrt((sxx / n - (sx / n) * (sx / n)) / 1e6), 6) AS std_value, "
+    "ROUND((sxy / n - (sx / n) * (sy / n)) / 1000.0, 6) AS cov_vk, "
+    "ROUND((sxy / n - (sx / n) * (sy / n)) / 1000.0 * 1000.0 / "
+    "sqrt(((sxx / n - (sx / n) * (sx / n)) / 1e6) * 1e6 * "
+    "(syy / n - (sy / n) * (sy / n))), 6) AS corr_vk "
+    "FROM m"
+)
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE companion to the ROLLUP gate: all four grouping sets of
+    (order status, year) in one Expand + one aggregate — the grain
+    ROLLUP's hierarchy skips ((), (yr)) is exactly what CUBE adds."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = (
+        o.select(
+            "o_orderstatus",
+            F.year("o_orderdate").alias("yr"),
+            cents.alias("cents"),
+        )
+        .cube("o_orderstatus", "yr")
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    return out.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("yr"), F.lit(-1)).cast("long").alias("yr"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        "n_orders",
+    )
+
+
+SQL_CUBE_REVENUE = (
+    "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+    "COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders "
+    "FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))"
+)
+
+
 # ------------------------------------------------- SQL surface breadth
 
 
@@ -4194,6 +4283,8 @@ QUERIES: dict = {
     # engine management (round 5): ANALYZE stats, dq constraints, fk
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "sliding_rollup": (q_sliding_rollup, SQL_SLIDING_ROLLUP),
+    "moments": (q_moments, SQL_MOMENTS),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "set_ops": (q_set_ops, SQL_SET_OPS),
