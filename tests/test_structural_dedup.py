@@ -361,6 +361,28 @@ def test_priority_sample_deterministic_and_weighted(spark):
         assert kept == exp
 
 
+def test_samplers_stable_under_resharding(spark):
+    """The no-RNG claim, executed: both deterministic samplers return
+    the IDENTICAL row set at different physical partitionings (seeded
+    per-partition RNG would not)."""
+    from webindex_spark.operators.curation import (
+        hash_stratified_sample,
+        priority_sample,
+    )
+
+    rows = [(i, "en" if i % 3 else "de", 10 + (i * 7) % 90) for i in range(200)]
+    base = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    for df2 in (base.repartition(1), base.repartition(13, "lang"), base.coalesce(2)):
+        a = sorted(map(tuple, priority_sample(base, "n_chars", 7).collect()))
+        b = sorted(map(tuple, priority_sample(df2, "n_chars", 7).collect()))
+        assert a == b
+        c = sorted(map(tuple, hash_stratified_sample(
+            base, {"en": 0.3, "de": 0.5}).collect()))
+        d = sorted(map(tuple, hash_stratified_sample(
+            df2, {"en": 0.3, "de": 0.5}).collect()))
+        assert c == d
+
+
 def test_priority_sample_zero_weight_clamped(spark):
     docs = spark.createDataFrame(
         [(1, "en", 0), (2, "en", 5)], ["doc_id", "lang", "n_chars"]
