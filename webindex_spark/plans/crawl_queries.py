@@ -3286,6 +3286,50 @@ SQL_MOMENTS = (
 )
 
 
+def q_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface: order counts and integer-cents
+    revenue by (year, quarter, month, day-of-week) — certifies the
+    date-part extractors across engines, including the day-of-week
+    convention gap (Spark ``dayofweek`` is 1=Sunday; DuckDB's is
+    0=Sunday, offset in the twin), plus last-day-of-month and
+    ISO week-of-year on the sampled min date per group."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(
+            F.year(d).cast("long").alias("yr"),
+            F.quarter(d).cast("long").alias("qtr"),
+            F.month(d).cast("long").alias("mon"),
+            F.dayofweek(d).cast("long").alias("dow"),
+            d.alias("d"),
+            cents.alias("cents"),
+        )
+        .groupBy("yr", "qtr", "mon", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+            F.min(F.to_date("d")).alias("first_date"),
+            F.max(F.last_day("d")).alias("month_end"),
+            F.min(F.weekofyear("d")).cast("long").alias("min_iso_week"),
+        )
+    )
+
+
+SQL_CALENDAR = (
+    "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, "
+    "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
+    "CAST(month(o_orderdate) AS BIGINT) AS mon, "
+    "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents, "
+    "MIN(CAST(o_orderdate AS DATE)) AS first_date, "
+    "MAX(last_day(CAST(o_orderdate AS DATE))) AS month_end, "
+    "CAST(MIN(weekofyear(o_orderdate)) AS BIGINT) AS min_iso_week "
+    "FROM orders GROUP BY 1, 2, 3, 4"
+)
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE companion to the ROLLUP gate: all four grouping sets of
     (order status, year) in one Expand + one aggregate — the grain
@@ -4285,6 +4329,7 @@ QUERIES: dict = {
     "sliding_rollup": (q_sliding_rollup, SQL_SLIDING_ROLLUP),
     "moments": (q_moments, SQL_MOMENTS),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
+    "calendar": (q_calendar, SQL_CALENDAR),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "set_ops": (q_set_ops, SQL_SET_OPS),
