@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from webindex_spark.operators.materialize import Materializer
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every neighbor v > u to m = min(N(u) ∪ {u})."""
@@ -78,6 +80,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    materialize: str | Materializer = "local",
 ) -> DataFrame:
     """Label every node that appears in ``edges`` with its component's
     minimum node id.
@@ -91,16 +94,21 @@ def connected_components(
     (count + sum of xxhash64(src, dst)): both star operations are
     idempotent at the fixpoint, where the edge set is exactly the
     star forest {(v, component_min)}.
+
+    ``materialize`` selects the per-round lineage-truncation backend
+    (operators/materialize.py) — ``"parquet:<dir>"`` is the durable
+    seam when executor loss during the loop must be survivable.
     """
-    e = (
+    mat = Materializer.of(materialize)
+    e = mat(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        force=True,
     )
     prev: tuple | None = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = mat(_small_star(_large_star(e)))
         # decimal(38,0) sum: exact, order-free, and cannot hit the ANSI
         # long-overflow error no matter how many edges participate
         n, h = e.agg(
@@ -112,6 +120,7 @@ def connected_components(
         prev = (n, h)
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    e = mat.finish(e)
     # fixpoint edge set is a star forest: src = member, dst = root.
     members = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
@@ -131,13 +140,16 @@ def dup_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    materialize: str | Materializer = "local",
 ) -> DataFrame:
     """The full dedup-clustering step: near-dup pairs -> per-document
     ``(doc_id, cluster, cluster_size)`` over the WHOLE corpus, isolated
     documents included as singleton clusters.  ``cluster`` is the
     minimum doc id of the component — the canonical survivor a
     keep-one dedup policy retains (``doc_id == cluster``)."""
-    cc = connected_components(pairs, src=a_col, dst=b_col, max_iter=max_iter)
+    cc = connected_components(
+        pairs, src=a_col, dst=b_col, max_iter=max_iter, materialize=materialize
+    )
     labeled = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(cc, F.col("doc_id") == F.col("id"), "left")

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from webindex_spark.operators.materialize import Materializer
+
 
 def hits(
     edges: DataFrame,
@@ -41,6 +43,7 @@ def hits(
     dst: str = "dst",
     iterations: int = 4,
     scale: int = 10**9,
+    materialize: str | Materializer = "local",
 ) -> DataFrame:
     """Fixed-point HITS over a directed edge list.
 
@@ -48,14 +51,22 @@ def hits(
     scores L1-normalized to ~``scale`` per vector per iteration (0 for
     roles a node never plays).  Multi-edges count once per occurrence —
     pass a distinct list for simple-graph semantics.
+
+    ``materialize`` selects the lineage-truncation backend
+    (operators/materialize.py): executor-local for single-app runs,
+    ``"parquet:<dir>"`` for the durable preemptible-cluster seam.
     """
+    mat = Materializer.of(materialize)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    adj = e.repartition("src").localCheckpoint(eager=True)
+    adj = mat(e.repartition("src"), force=True)
     srcs = adj.select(F.col("src").alias("id")).distinct()
     n_src = srcs.count()
-    h = srcs.select(
-        "id", F.lit(scale // max(n_src, 1)).cast("long").alias("h")
-    ).localCheckpoint(eager=True)
+    h = mat(
+        srcs.select(
+            "id", F.lit(scale // max(n_src, 1)).cast("long").alias("h")
+        ),
+        force=True,
+    )
 
     # per iteration: ONE materialization job (the end-of-iteration h
     # checkpoint, which truncates lineage like pagerank).  The L1
@@ -84,12 +95,12 @@ def hits(
             .groupBy("id")
             .agg(F.sum("c").alias("raw"))
         )
-        h = (
+        h = mat(
             h_raw.crossJoin(F.broadcast(h_raw.agg(F.expr(gran))))
             .select("id", F.expr("raw div g").cast("long").alias("h"))
-            .localCheckpoint(eager=True)
         )
 
+    h = mat.finish(h)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

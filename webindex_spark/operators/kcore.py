@@ -24,50 +24,61 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from webindex_spark.operators.materialize import Materializer
+
 
 def kcore_peel(
     edges: DataFrame,
     k: int,
-    rounds: int = 6,
+    rounds: int | None = 6,
     src: str = "src",
     dst: str = "dst",
+    materialize: str | Materializer = "local",
 ) -> DataFrame:
     """Peel nodes of degree < ``k`` for ``rounds`` rounds over the
     undirected simple graph.  Returns ``(id, degree, in_core,
     converged)``: every ORIGINAL node, its surviving degree (0 if
     peeled), membership after the final round, and whether the last
     round removed nothing (same scalar-probe class as the components
-    convergence check)."""
-    e0 = (
+    convergence check).
+
+    ``rounds=None`` runs to the actual fixpoint (the production mode —
+    the loop's only driver data is the per-round edge-count scalar, and
+    every round strictly shrinks the edge set, so termination is
+    guaranteed in ≤ |E| rounds and in practice a handful).
+    ``materialize`` selects the lineage backend (materialize.py)."""
+    mat = Materializer.of(materialize)
+    e0 = mat(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        force=True,
     )
-    all_nodes = (
+    all_nodes = mat(
         e0.select(F.col("a").alias("id"))
         .union(e0.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        force=True,
     )
     e = e0
     converged = False
-    for _ in range(rounds):
+    r = 0
+    while rounds is None or r < rounds:
+        r += 1
         deg = (
             e.select(F.col("a").alias("id"))
             .union(e.select(F.col("b").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
-        keep = deg.where(F.col("d") >= k).select("id").localCheckpoint(eager=True)
-        e2 = (
+        keep = mat(deg.where(F.col("d") >= k).select("id"))
+        e2 = mat(
             e.join(keep.withColumnRenamed("id", "a"), "a")
             .join(keep.withColumnRenamed("id", "b"), "b")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
         # one scalar per round: did the edge set shrink?
         if e2.count() == e.count():
@@ -75,6 +86,7 @@ def kcore_peel(
             converged = True
             break
         e = e2
+    e = mat.finish(e)
     deg = (
         e.select(F.col("a").alias("id"))
         .union(e.select(F.col("b").alias("id")))
@@ -92,10 +104,11 @@ def kcore_peel(
 def hop_distances(
     edges: DataFrame,
     seeds: DataFrame,
-    rounds: int = 4,
+    rounds: int | None = 4,
     src: str = "src",
     dst: str = "dst",
     directed: bool = True,
+    materialize: str | Materializer = "local",
 ) -> DataFrame:
     """Multi-source BFS: ``(id, dist)`` — the minimum number of link
     hops from any seed, for every node within ``rounds`` hops (nodes
@@ -104,30 +117,38 @@ def hop_distances(
 
     Each round relaxes the CURRENT frontier only (newly-reached nodes)
     — the standard distributed BFS where round r shuffles frontier ×
-    out-edges, not the whole distance table."""
+    out-edges, not the whole distance table.  ``rounds=None`` runs
+    until the frontier empties (full reachability — termination is
+    guaranteed because every round adds only never-seen nodes).
+    ``materialize`` selects the lineage backend (materialize.py)."""
+    mat = Materializer.of(materialize)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
         e = e.union(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-    e = e.distinct().repartition("u").localCheckpoint(eager=True)
-    dist = (
+    e = mat(e.distinct().repartition("u"), force=True)
+    dist = mat(
         seeds.toDF("id").distinct()
-        .select("id", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
+        .select("id", F.lit(0).cast("long").alias("dist")),
+        force=True,
     )
     frontier = dist
-    for r in range(1, rounds + 1):
-        reached = (
+    r = 0
+    while rounds is None or r < rounds:
+        r += 1
+        # the frontier is force-cut (never cadence-pinned): isEmpty()
+        # probes it and the NEXT round's anti-join + union both read it
+        reached = mat(
             e.join(frontier, e.u == frontier.id)
             .select(F.col("v").alias("id"))
             .distinct()
             .join(dist, "id", "left_anti")
-            .select("id", F.lit(r).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+            .select("id", F.lit(r).cast("long").alias("dist")),
+            force=True,
         )
         if reached.isEmpty():
             break
-        dist = dist.union(reached).localCheckpoint(eager=True)
+        dist = mat(dist.union(reached))
         frontier = reached
-    return dist
+    return mat.finish(dist)

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from webindex_spark.operators.materialize import Materializer
+
 
 def pagerank(
     edges: DataFrame,
@@ -48,6 +50,7 @@ def pagerank(
     iterations: int = 5,
     damping: int = 85,
     scale: int = 10**12,
+    materialize: str | Materializer = "local",
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -61,7 +64,14 @@ def pagerank(
     scale=10^12, ``r * damping`` < 10^14 and the global mass sums are
     ~``scale`` — no ANSI overflow at any graph size whose total mass
     is one.
+
+    ``materialize`` selects the lineage-truncation backend (see
+    operators/materialize.py): ``"local"`` for single-app runs,
+    ``"parquet:<dir>"`` for the durable seam a preemptible cluster
+    needs, or a preconfigured :class:`Materializer` (e.g. cadence
+    ``every=2`` to halve the barrier count on large graphs).
     """
+    mat = Materializer.of(materialize)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -75,16 +85,16 @@ def pagerank(
         .distinct()
         .join(outdeg, "id", "left")
         .select("id", F.col("outdeg").isNull().alias("dangling"))
-        .localCheckpoint(eager=True)
     )
+    nodes = mat(nodes, force=True)
     n = nodes.count()
     # static per-edge join state: (src, dst, outdeg), partitioned by src
     # once so the per-iteration rank join shuffles only the rank table
-    adj = (
+    adj = mat(
         e.join(outdeg, e.src == outdeg.id)
         .select("src", "dst", "outdeg")
-        .repartition("src")
-        .localCheckpoint(eager=True)
+        .repartition("src"),
+        force=True,
     )
     base = ((100 - damping) * scale) // (100 * n)
     ranks = nodes.select(
@@ -110,7 +120,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
+        ranks = mat(
             nodes.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dsh))
             .select(
@@ -124,6 +134,5 @@ def pagerank(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-    return ranks.select("id", "rank")
+    return mat.finish(ranks).select("id", "rank")

@@ -4225,14 +4225,66 @@ SQL_TRIANGLES = (
 
 
 QUERIES: dict = {
+    # --- driver CORRECTNESS window (first 50 keys) -------------------
+    # The driver certifies only the first 50 entries per round.  Round 6
+    # rotates the 41 gates that had never received a driver row (they
+    # were judge-certified via tools/check_oracle.py in round 5) to the
+    # front, keeps three long-standing regression sentinels in-window,
+    # and leaves slots for new round-6 gates.  Everything below the
+    # window marker was driver-certified green in CORRECTNESS_r05.json.
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hits": (q_hits, SQL_HITS),
+    "sessions": (q_sessions, SQL_SESSIONS),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "hll_distinct": (q_hll_hosts, SQL_HLL_HOSTS),
+    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
+    "quantiles_cont": (q_quantiles_cont, SQL_QUANTILES_CONT),
+    "asof_join": (q_asof_events, SQL_ASOF_EVENTS),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "butterflies": (q_butterflies, SQL_BUTTERFLIES),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "win_dedup": (q_win_dedup, SQL_WIN_DEDUP),
+    "win_cut": (q_win_cut, SQL_WIN_CUT),
+    "rep_stats": (q_rep_stats, SQL_REP_STATS),
+    "postings": (q_postings, SQL_POSTINGS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "triangles": (q_triangles, SQL_TRIANGLES),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
+    "cohorts": (q_cohorts, SQL_COHORTS),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "ewma": (q_ewma, SQL_EWMA),
+    "zorder": (q_zorder, SQL_ZORDER),
+    "kcore": (q_kcore, SQL_KCORE),
+    "bfs_depth": (q_bfs_depth, SQL_BFS_DEPTH),
+    "suggest": (q_suggest, SQL_SUGGEST),
+    "snippets": (q_snippets, SQL_SNIPPETS),
+    "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
+    "sliding_rollup": (q_sliding_rollup, SQL_SLIDING_ROLLUP),
+    "moments": (q_moments, SQL_MOMENTS),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
+    "calendar": (q_calendar, SQL_CALENDAR),
+    "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "table_stats": (q_table_stats, SQL_TABLE_STATS),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
+    "fk_checks": (q_fk_checks, SQL_FK_CHECKS),
+    # new round-6 gates go here (inside the 50-row window) ------------
+    # regression sentinels (driver-certified every round) -------------
     "uri_counts": (q_uri_counts, SQL_URI_COUNTS),
+    "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
+    "sched_cogroup": (q_sched_cogroup, SQL_SCHED_COGROUP),
+    # --- end of driver window: all driver-certified in r05 -----------
     "domain_counts": (q_domain_counts, SQL_DOMAIN_COUNTS),
     "inlinks": (q_inlinks, SQL_INLINKS),
     "top_pages": (q_top_pages, SQL_TOP_PAGES),
     "domain_rank": (q_domain_rank, SQL_DOMAIN_RANK),
     "frontier_unseen": (q_frontier_unseen, SQL_FRONTIER_UNSEEN),
     "schedule": (q_schedule, SQL_SCHEDULE),
-    "sched_cogroup": (q_sched_cogroup, SQL_SCHED_COGROUP),
     "sched_cogroup_cuckoo": (q_sched_cogroup_cuckoo, SQL_SCHED_COGROUP),
     "audio_gate": (q_audio_gate, SQL_AUDIO_GATE),
     "image_gate": (q_image_gate, SQL_IMAGE_GATE),
@@ -4243,7 +4295,6 @@ QUERIES: dict = {
     "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "rank_rows": (q_rank_rows, SQL_RANK_ROWS),
     "unseen_two_tier": (q_unseen_two_tier, SQL_UNSEEN_TWO_TIER),
-    "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
     "stream_uri_counts": (q_stream_uri_counts, SQL_STREAM_URI_COUNTS),
     "stream_event_rollup": (q_stream_event_rollup, SQL_STREAM_EVENT_ROLLUP),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
@@ -4262,8 +4313,6 @@ QUERIES: dict = {
     "order_rollup": (q_order_rollup, SQL_ORDER_ROLLUP),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "supplier_distinct": (q_supplier_distinct, SQL_SUPPLIER_DISTINCT),
-    # dedup/ANN pipelines under the engine-portable hash (full oracles;
-    # the xxhash64 production path is locked by tests/ python oracles)
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
@@ -4272,68 +4321,9 @@ QUERIES: dict = {
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
-    # curation lane (round 5): contamination, scrubbing, mixture
-    # sampling, sequence packing, keyword extraction
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "strat_sample": (q_strat_sample, SQL_STRAT_SAMPLE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
-    # crawl-analytics lane (round 5): eigenvector centrality over the
-    # link graph, gap sessionization over the event stream
-    "pagerank": (q_pagerank, SQL_PAGERANK),
-    "hits": (q_hits, SQL_HITS),
-    "sessions": (q_sessions, SQL_SESSIONS),
-    # sketch + temporal-join lane (round 5): mergeable approximate
-    # structures with bit-exact oracle replay, and the as-of join
-    # certified against DuckDB's native ASOF semantics
-    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
-    "hll_distinct": (q_hll_hosts, SQL_HLL_HOSTS),
-    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
-    "quantiles": (q_quantiles, SQL_QUANTILES),
-    "quantiles_cont": (q_quantiles_cont, SQL_QUANTILES_CONT),
-    "asof_join": (q_asof_events, SQL_ASOF_EVENTS),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "butterflies": (q_butterflies, SQL_BUTTERFLIES),
-    # structural dedup + index lane (round 5): sub-document exact dedup
-    # (line + token-window), in-document repetition filters, the text
-    # inverted index, weighted sampling, unipartite triangle census
-    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
-    "win_dedup": (q_win_dedup, SQL_WIN_DEDUP),
-    "win_cut": (q_win_cut, SQL_WIN_CUT),
-    "rep_stats": (q_rep_stats, SQL_REP_STATS),
-    "postings": (q_postings, SQL_POSTINGS),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "triangles": (q_triangles, SQL_TRIANGLES),
-    # native stream-stream interval join, certified against the batch
-    # interval-join oracle (watermark > lookback => no eviction loss)
-    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
-    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
-    # OLAP breadth lane (round 5): grouping sets, pivot, behavioral
-    # analytics (cohort retention, sequential funnel)
-    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
-    "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
-    "cohorts": (q_cohorts, SQL_COHORTS),
-    "funnel": (q_funnel, SQL_FUNNEL),
-    # decayed metrics + layout clustering (round 5)
-    "ewma": (q_ewma, SQL_EWMA),
-    "zorder": (q_zorder, SQL_ZORDER),
-    # graph decomposition + reachability (round 5)
-    "kcore": (q_kcore, SQL_KCORE),
-    "bfs_depth": (q_bfs_depth, SQL_BFS_DEPTH),
-    # serving-path text ops (round 5): suggest index, snippets
-    "suggest": (q_suggest, SQL_SUGGEST),
-    "snippets": (q_snippets, SQL_SNIPPETS),
-    # engine management (round 5): ANALYZE stats, dq constraints, fk
-    "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
-    "sliding_rollup": (q_sliding_rollup, SQL_SLIDING_ROLLUP),
-    "moments": (q_moments, SQL_MOMENTS),
-    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
-    "calendar": (q_calendar, SQL_CALENDAR),
-    "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
-    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
-    "table_stats": (q_table_stats, SQL_TABLE_STATS),
-    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
-    "fk_checks": (q_fk_checks, SQL_FK_CHECKS),
 }
