@@ -84,6 +84,27 @@ def test_cms_upper_bound_and_exact_when_sparse(spark):
     assert est == true
 
 
+def test_cms_unseen_keys_estimate_zero(spark):
+    """Standard CMS contract: a key never added to the sketch must come
+    back with estimate 0 (its cells are empty), not vanish from the
+    output or inherit a collided cell's inflated min."""
+    df = spark.createDataFrame([(f"u{i}",) for i in range(40)], ["k"])
+    regs = sketches.cms_registers(df, "k")
+    probe = spark.createDataFrame(
+        [("u0",), ("never-seen-1",), ("never-seen-2",)], ["k"]
+    )
+    est = {
+        r["k"]: r["cms_n"]
+        for r in sketches.cms_estimate(probe, regs, "k").collect()
+    }
+    assert set(est) == {"u0", "never-seen-1", "never-seen-2"}
+    assert est["u0"] >= 1
+    # 40 keys / 4x256 grid: a 4-row full collision for an absent key is
+    # essentially impossible, so the zero-cell min must surface
+    assert est["never-seen-1"] == 0
+    assert est["never-seen-2"] == 0
+
+
 def test_exact_quantiles_percentile_disc_semantics(spark):
     df = spark.createDataFrame([(float(v),) for v in range(1, 101)], ["x"])
     got = {

@@ -110,25 +110,28 @@ def interval_join(
     w = int(lookback_us)
     l_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     r_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # bucket ids use integer `div`, never F.floor(x / w): double
+    # division misrounds past 2^53, and epoch-microsecond timestamps
+    # are already ~2^51 (the priority_sample discipline).  unix_micros
+    # of any post-1970 ts is non-negative, where div == floor-div.
     lt = left.withColumn("__lus", l_us).withColumn(
         "__bkt",
         F.explode(
             F.array(
-                (F.floor(F.col("__lus") / w) - 1).cast("long"),
-                F.floor(F.col("__lus") / w).cast("long"),
+                F.expr(f"__lus div {w}L") - 1,
+                F.expr(f"__lus div {w}L"),
             )
         ),
     )
     rt = right.select(
         *on,
-        F.floor(r_us / w).cast("long").alias("__bkt"),
         r_us.alias("__rus"),
         *[
             F.col(c).alias(prefix + c)
             for c in right.columns
             if c not in on
         ],
-    )
+    ).withColumn("__bkt", F.expr(f"__rus div {w}L"))
     return (
         lt.join(rt, [*on, "__bkt"])
         .filter(

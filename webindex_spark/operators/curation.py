@@ -295,8 +295,14 @@ def seq_pack(
         counts, id_col, "n_tokens", out_col="__c", num_partitions=num_partitions
     )
     start = F.col("__c") - F.col("n_tokens")
-    first_seq = F.floor(start / budget)
-    last_seq = F.floor((F.col("__c") - 1) / budget)
+    # integer `div`, never F.floor(x / budget): double division
+    # misrounds past 2^53 and the cumulative token count is unbounded
+    # (the priority_sample discipline).  Both numerators are
+    # non-negative wherever the result is used (start >= 0 always;
+    # last_seq only feeds n_splits on n_tokens > 0 rows, where
+    # __c >= 1), and div == floor-div for non-negatives.
+    first_seq = F.expr(f"(__c - n_tokens) div {int(budget)}L")
+    last_seq = F.expr(f"(__c - 1) div {int(budget)}L")
     n_splits = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
         last_seq - first_seq + 1
     )

@@ -166,7 +166,13 @@ def cms_estimate(
     """Point-frequency estimates for ``keys``: ``(key, cms_n)`` with
     ``cms_n = min over sketch rows of the addressed register`` — the
     classic one-sided (>= true count) CMS bound.  The register grid is
-    broadcast; the probe never shuffles the key set."""
+    broadcast; the probe never shuffles the key set.
+
+    The join is LEFT so a probed cell absent from the (sparse,
+    non-empty-cells-only) register grid counts as 0 — standard CMS
+    semantics: a key never sketched estimates 0, and a key whose rows
+    straddle empty cells takes the zero into its min instead of
+    silently ignoring it."""
     ks = F.col(key_col).cast("string")
     probes = None
     for r, base in enumerate(bases):
@@ -177,9 +183,13 @@ def cms_estimate(
         )
         probes = p if probes is None else probes.unionByName(p)
     return (
-        probes.join(F.broadcast(registers), ["r", "c"])
+        probes.join(F.broadcast(registers), ["r", "c"], "left")
         .groupBy(key_col)
-        .agg(F.min("reg").alias("cms_n"))
+        .agg(
+            F.min(F.coalesce(F.col("reg"), F.lit(0)))
+            .cast("long")
+            .alias("cms_n")
+        )
     )
 
 

@@ -1278,9 +1278,10 @@ def q_stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-data micro-batch) has passed — a deterministic, SQL-replayable
     predicate — and each emitted (window, type) row must carry counts
     and sums accumulated across every micro-batch that touched it.
-    ``value`` is pre-scaled to integer thousandths before the stream
-    (the event_rollup trick) so cross-batch partial-sum merge order
-    cannot perturb the float sum."""
+    ``windowed_rollup`` itself accumulates ``value`` as integer
+    thousandths (the event_rollup trick) so cross-batch partial-sum
+    merge order cannot perturb the float sum — the gate feeds the raw
+    double column."""
     import os
     import shutil
     import tempfile
@@ -1298,9 +1299,7 @@ def q_stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _t(spark, sf_dir, "events").select(
             "event_id",
             F.col("ts").cast("timestamp").alias("ts"),
-            "user_id", "event_type",
-            F.round(F.col("value") * 1000).cast("long").alias("value"),
-            "props",
+            "user_id", "event_type", "value", "props",
         )
         outd = os.path.join(root, "w")
         ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(outd)
@@ -1336,9 +1335,7 @@ def q_stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(name)
             .select(
                 F.col("window_start").cast("timestamp_ntz").alias("window_start"),
-                "event_type",
-                "n_events",
-                (F.col("sum_value") / 1000.0).alias("sum_value"),
+                "event_type", "n_events", "sum_value",
             )
             .localCheckpoint(eager=True)
         )

@@ -24,17 +24,24 @@ EVENT_SCHEMA = (
 
 def windowed_rollup(events: DataFrame, window: str = "1 hour",
                     watermark: str = "2 hours") -> DataFrame:
-    """Per event_type tumbling-window counts/sums with late-data handling."""
+    """Per event_type tumbling-window counts/sums with late-data handling.
+
+    ``sum_value`` is accumulated as integer thousandths (round(v*1000)
+    summed as long, divided back on output) — the event_rollup idiom:
+    cross-micro-batch state merges happen in arbitrary order, and a raw
+    double sum would be merge-order-dependent in the last ulps.  Exact
+    whenever values carry <= 3 decimal places."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("__sv"),
         )
         .select(
             F.col("w.start").alias("window_start"),
-            "event_type", "n_events", "sum_value",
+            "event_type", "n_events",
+            (F.col("__sv") / 1000.0).alias("sum_value"),
         )
     )
 
