@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship batch index build (SURVEY.md §3.1) on
-sf0.001; ``queries()``/``oracle_sql()`` expose the operator suite from
+sf0.1; ``queries()``/``oracle_sql()`` expose the operator suite from
 SURVEY.md §2 with DuckDB oracles (see webindex_spark/plans/crawl_queries.py
 for the derivation and the column-aliasing/determinism rules).
 """
@@ -16,13 +16,15 @@ from webindex_spark.plans.crawl_queries import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: derive the link graph,
+    """Flagship query on /root/testdata/sf0.1: derive the link graph,
     build the full rank index, return the sorted KV rows (driver checks
-    rows > 0 and schema stability)."""
+    rows > 0 and schema stability).  sf0.1 — the same scale bench.py
+    runs — so the smoke check exercises the real partition counts, not
+    a 2k-row toy."""
     from webindex_spark.plans import crawl_queries as cq
     from webindex_spark.operators import index_batch
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = "/root/testdata/sf0.1"
     uri_counts = cq.uri_counts_df(spark, sf_dir)
     domain_counts = index_batch.create_domain_map(uri_counts)
     enc = uri_counts

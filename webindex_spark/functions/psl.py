@@ -476,13 +476,30 @@ gov.lk
 
 
 def _load_rules() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
-    """Returns (exact_rules, wildcard_parents, exception_rules)."""
-    path = os.path.join(os.path.dirname(__file__), "public_suffix_list.dat")
-    if os.path.exists(path):
-        with open(path, encoding="utf-8") as f:
-            text = f.read()
-    else:
-        text = _PSL_SNAPSHOT
+    """Returns (exact_rules, wildcard_parents, exception_rules).
+
+    The vendored list is read through importlib.resources so it also
+    resolves when the package ships as a ``spark-submit --py-files``
+    zip (zipimport has no real filesystem path); the embedded snapshot
+    is the last-resort fallback."""
+    text = None
+    try:
+        from importlib import resources
+
+        res = resources.files(__package__) / "public_suffix_list.dat"
+        if res.is_file():
+            text = res.read_text(encoding="utf-8")
+    except Exception:
+        text = None
+    if text is None:
+        path = os.path.join(
+            os.path.dirname(__file__), "public_suffix_list.dat"
+        )
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                text = f.read()
+        else:
+            text = _PSL_SNAPSHOT
     exact, wild, exc = set(), set(), set()
     for line in text.splitlines():
         line = line.strip()

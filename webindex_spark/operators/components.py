@@ -17,10 +17,13 @@ Scale posture (100 TB corpus, ~10^10 docs):
  - the input edge list from the LSH/simhash lanes is already
    hot-bucket-guarded (dedup.py ``max_bucket``), so |E| is O(docs),
    not O(docs^2), before this operator runs;
- - every round re-materializes the (shrinking) edge list with
-   ``localCheckpoint`` to truncate the iterative-join lineage — on a
-   real cluster swap in ``checkpoint()`` against a reliable dir if
-   executor loss during the loop must be survivable;
+ - every round re-materializes the (shrinking) edge list through the
+   ``materialize`` seam (operators/materialize.py) to truncate the
+   iterative-join lineage — lazy executor-local by default, measured
+   fastest AND best-scaling on the N-vs-4N harness; pass
+   ``"parquet:<dir>"`` for the durable backend if executor loss
+   during the loop must be survivable (tested in
+   tests/test_materialize.py);
  - node ids may be any orderable type (string doc ids compare
    identically in Spark and ANSI SQL for ASCII ids); the component
    label is the MINIMUM member id, a deterministic canonical choice.
@@ -80,7 +83,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    materialize: str | Materializer = "local",
+    materialize: str | Materializer = "local_lazy",
 ) -> DataFrame:
     """Label every node that appears in ``edges`` with its component's
     minimum node id.
@@ -107,7 +110,9 @@ def connected_components(
         force=True,
     )
     prev: tuple | None = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         e = mat(_small_star(_large_star(e)))
         # decimal(38,0) sum: exact, order-free, and cannot hit the ANSI
         # long-overflow error no matter how many edges participate
@@ -126,11 +131,16 @@ def connected_components(
     roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
     # groupBy-min is a no-op on a well-formed star forest but makes the
     # output schema-stable even mid-convergence under a tiny max_iter.
-    return (
+    out = (
         members.union(roots)
         .groupBy("id")
         .agg(F.min("component").alias("component"))
     )
+    # rounds-to-fixpoint, for throughput normalization in benchmarks
+    # (per-edge work is rounds-proportional; harnesses read this to
+    # report edges*rounds/sec instead of guessing the round count)
+    out._wix_cc_rounds = rounds
+    return out
 
 
 def dup_clusters(
@@ -140,7 +150,7 @@ def dup_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
-    materialize: str | Materializer = "local",
+    materialize: str | Materializer = "local_lazy",
 ) -> DataFrame:
     """The full dedup-clustering step: near-dup pairs -> per-document
     ``(doc_id, cluster, cluster_size)`` over the WHOLE corpus, isolated

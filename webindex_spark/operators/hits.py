@@ -43,7 +43,7 @@ def hits(
     dst: str = "dst",
     iterations: int = 4,
     scale: int = 10**9,
-    materialize: str | Materializer = "local",
+    materialize: str | Materializer = "local_lazy",
 ) -> DataFrame:
     """Fixed-point HITS over a directed edge list.
 

@@ -250,15 +250,18 @@ def accumulo_default_splits() -> list[str]:
     (IndexEnv.getAccumuloDefaultSplits, IndexEnv.java:
     splits/accumulo-default.txt — vendored verbatim as package data,
     Apache-2.0).  76 sorted points: first ``d:com.blogg``, last
-    ``t:fefeff:d`` (IndexEnvTest.java:26-31)."""
-    import os
+    ``t:fefeff:d`` (IndexEnvTest.java:26-31).
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "resources", "accumulo_default_splits.dat",
-    )
-    with open(path, encoding="utf-8") as f:
-        return sorted(line.strip() for line in f if line.strip())
+    Read via importlib.resources so it also resolves from the
+    ``spark-submit --py-files`` zip (zipimport-safe)."""
+    from importlib import resources
+
+    text = (
+        resources.files("webindex_spark")
+        / "resources"
+        / "accumulo_default_splits.dat"
+    ).read_text(encoding="utf-8")
+    return sorted(line.strip() for line in text.splitlines() if line.strip())
 
 
 def sorted_index_rows(index_rows: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -33,7 +33,7 @@ def kcore_peel(
     rounds: int | None = 6,
     src: str = "src",
     dst: str = "dst",
-    materialize: str | Materializer = "local",
+    materialize: str | Materializer = "local_lazy",
 ) -> DataFrame:
     """Peel nodes of degree < ``k`` for ``rounds`` rounds over the
     undirected simple graph.  Returns ``(id, degree, in_core,
@@ -108,7 +108,7 @@ def hop_distances(
     src: str = "src",
     dst: str = "dst",
     directed: bool = True,
-    materialize: str | Materializer = "local",
+    materialize: str | Materializer = "local_lazy",
 ) -> DataFrame:
     """Multi-source BFS: ``(id, dist)`` — the minimum number of link
     hops from any seed, for every node within ``rounds`` hops (nodes

@@ -50,7 +50,7 @@ def pagerank(
     iterations: int = 5,
     damping: int = 85,
     scale: int = 10**12,
-    materialize: str | Materializer = "local",
+    materialize: str | Materializer = "local_lazy",
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 

@@ -272,21 +272,13 @@ def synth_edges(
     )
 
 
-def pagerank_throughput_job(
-    spark: SparkSession,
-    n_edges: int,
-    iterations: int = 5,
-    tmp_dir: str = "/tmp/webindex_bench_edges",
-) -> tuple[int, float]:
-    """Returns (edge_iterations, wall_seconds) for the fixed-point
-    PageRank loop — the representative bounded-round iterative graph
-    job (two linear shuffles + one scalar probe per iteration, lineage
-    truncated each round).  Edge generation happens once into parquet
-    (untimed); nodes = n_edges // 10 keeps average degree ~10, a
-    web-like sparsity that does not saturate with size."""
+def _bench_edges(
+    spark: SparkSession, n_edges: int, tmp_dir: str
+) -> DataFrame:
+    """One-time (untimed) parquet materialization of the synthetic edge
+    list; nodes = n_edges // 10 keeps average degree ~10, a web-like
+    sparsity that does not saturate with size."""
     import os
-
-    from webindex_spark.operators.pagerank import pagerank
 
     data_dir = os.path.join(tmp_dir, f"data_{n_edges}")
     marker = os.path.join(tmp_dir, f"_done_{n_edges}")
@@ -295,10 +287,59 @@ def pagerank_throughput_job(
             64
         ).write.mode("overwrite").parquet(data_dir)
         open(marker, "w").close()
-    edges = spark.read.parquet(data_dir)
+    return spark.read.parquet(data_dir)
 
+
+def pagerank_throughput_job(
+    spark: SparkSession,
+    n_edges: int,
+    iterations: int = 5,
+    tmp_dir: str = "/tmp/webindex_bench_edges",
+    materialize="local",
+) -> tuple[int, float]:
+    """Returns (edge_iterations, wall_seconds) for the fixed-point
+    PageRank loop — the representative bounded-round iterative graph
+    job (two linear shuffles + one scalar probe per iteration, lineage
+    truncated on the ``materialize`` backend's cadence)."""
+    from webindex_spark.operators.pagerank import pagerank
+
+    edges = _bench_edges(spark, n_edges, tmp_dir)
     t0 = time.time()
-    out = pagerank(edges, iterations=iterations)
+    out = pagerank(edges, iterations=iterations, materialize=materialize)
     out.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
+    unpersist_all(spark)
     return n_edges * iterations, dt
+
+
+def components_throughput_job(
+    spark: SparkSession,
+    n_edges: int,
+    tmp_dir: str = "/tmp/webindex_bench_edges",
+    materialize="local",
+) -> tuple[int, float]:
+    """Returns (edges_processed, wall_seconds) for connected components
+    (large-star/small-star to the fixpoint) over a skewed graph: the
+    synthetic edge list plus a giant-component spine (every ~64th node
+    chained) so component sizes are power-law-ish — one huge component
+    plus a long tail — the regime the round-count worry at 10^10 nodes
+    is about.  edges_processed = n_edges * rounds_to_fixpoint."""
+    from webindex_spark.operators.components import connected_components
+
+    edges = _bench_edges(spark, n_edges, tmp_dir)
+    n_nodes = max(n_edges // 10, 10)
+    spine = spark.range(n_nodes // 64).select(
+        (F.col("id") * 64).alias("src"),
+        ((F.col("id") + 1) * 64 % n_nodes).alias("dst"),
+    )
+    t0 = time.time()
+    out = connected_components(
+        edges.unionByName(spine), materialize=materialize
+    )
+    # rounds are data-determined; normalize throughput by counting them
+    rounds = getattr(out, "_wix_cc_rounds", None)
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    unpersist_all(spark)
+    total = n_edges + n_nodes // 64
+    return total * (rounds or 1), dt

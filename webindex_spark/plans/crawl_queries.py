@@ -1164,6 +1164,14 @@ SQL_DELTA_MERGE = (
 )
 
 
+def _stream_batches(q) -> int:
+    """Micro-batch count of a terminated streaming query (benchmarks
+    read this off the gate's returned frame as ``_wix_batches`` to
+    report scheduler fixed cost alongside wall time)."""
+    p = q.lastProgress
+    return int(p["batchId"]) + 1 if p else 0
+
+
 def q_stream_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7/T8 end-to-end under the oracle: the Structured Streaming twin
     (streaming/page_stream.py — file source -> foreachBatch -> the
@@ -1236,12 +1244,14 @@ def q_stream_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         # pin the result off the temp dir so it can be reclaimed before
         # the caller materializes the frame
-        return (
+        out = (
             cat.table("uri_counts")
             .read(spark)
             .select("uri", "links_to", "docs")
             .localCheckpoint(eager=True)
         )
+        out._wix_batches = _stream_batches(q)
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1331,7 +1341,7 @@ def q_stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return (
+        out = (
             spark.table(name)
             .select(
                 F.col("window_start").cast("timestamp_ntz").alias("window_start"),
@@ -1339,6 +1349,8 @@ def q_stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        out._wix_batches = _stream_batches(q)
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2596,7 +2608,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         w = Window.partitionBy("user_id").orderBy("first_ts")
-        return (
+        out = (
             spark.table(name)
             .withColumn("session_seq", F.row_number().over(w).cast("long"))
             .select(
@@ -2612,6 +2624,8 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        out._wix_batches = _stream_batches(q)
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2947,7 +2961,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return (
+        out = (
             spark.table(name)
             .groupBy("user_id", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
             .agg(
@@ -2956,6 +2970,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        out._wix_batches = _stream_batches(q)
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -3036,7 +3052,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return (
+        out = (
             spark.table(name)
             .groupBy("event_type")
             .agg(
@@ -3046,6 +3062,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        out._wix_batches = _stream_batches(q)
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4221,6 +4239,92 @@ SQL_TRIANGLES = (
 )
 
 
+# ------------------------------------------------------- host graph (r6)
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level contraction of the page link graph
+    (operators/hostgraph.py host_graph): one weighted edge per
+    cross-host (src_host, dst_host) pair with page-level link count and
+    distinct pages on each side.  The object crawl policy runs on —
+    the reference only rolls up to per-domain page counts
+    (IndexUtil.java:104-123); this keeps the edges."""
+    from webindex_spark.operators.hostgraph import host_graph
+
+    e = link_edges(spark, sf_dir).select(
+        "src_uri",
+        "dst_uri",
+        F.split_part(F.col("src_uri"), F.lit(">"), F.lit(1)).alias("src_host"),
+        F.split_part(F.col("dst_uri"), F.lit(">"), F.lit(1)).alias("dst_host"),
+    )
+    return host_graph(e)
+
+
+SQL_HOST_GRAPH = (
+    f"WITH e AS ({_SQL_EDGES}) "
+    "SELECT split_part(src_uri, '>', 1) AS src_host, "
+    "split_part(dst_uri, '>', 1) AS dst_host, "
+    "CAST(COUNT(*) AS BIGINT) AS n_links, "
+    "CAST(COUNT(DISTINCT src_uri) AS BIGINT) AS n_src_pages, "
+    "CAST(COUNT(DISTINCT dst_uri) AS BIGINT) AS n_dst_pages "
+    "FROM e WHERE split_part(src_uri, '>', 1) <> split_part(dst_uri, '>', 1) "
+    "GROUP BY 1, 2"
+)
+
+
+def q_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law degree histogram of the link graph
+    (operators/hostgraph.py degree_census): per side (in/out), nodes per
+    floor(log2(degree)) bucket with the bucket's min/max degree.
+    Buckets come from the highest-set-bit position (length(bin(d))-1),
+    integer-exact on both engines."""
+    from webindex_spark.operators.hostgraph import degree_census
+
+    return degree_census(link_edges(spark, sf_dir))
+
+
+SQL_DEGREE_CENSUS = (
+    f"WITH e AS ({_SQL_EDGES}), "
+    "d AS (SELECT 'out' AS side, src_uri AS node, "
+    "CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1, 2 "
+    "UNION ALL SELECT 'in' AS side, dst_uri AS node, "
+    "CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1, 2) "
+    "SELECT side, CAST(LENGTH(BIN(deg)) - 1 AS BIGINT) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "MIN(deg) AS min_deg, MAX(deg) AS max_deg "
+    "FROM d GROUP BY 1, 2"
+)
+
+
+def q_domain_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation census (operators/hostgraph.py domain_cooccur):
+    unordered destination-host pairs linked from the same source page,
+    with the link-farm out-degree guard (max_out=5) exercised for real
+    — multi-line orders exceed it and are deterministically excluded on
+    both engines before the O(out^2) pair expansion."""
+    from webindex_spark.operators.hostgraph import domain_cooccur
+
+    e = link_edges(spark, sf_dir).select(
+        "src_uri",
+        F.split_part(F.col("dst_uri"), F.lit(">"), F.lit(1)).alias("dst_host"),
+    )
+    return domain_cooccur(e, max_out=5)
+
+
+SQL_DOMAIN_COOCCUR = (
+    f"WITH e AS ({_SQL_EDGES}), "
+    "ph AS (SELECT DISTINCT src_uri AS p, split_part(dst_uri, '>', 1) AS h "
+    "FROM e), "
+    "deg AS (SELECT p, COUNT(*) AS c FROM ph GROUP BY p), "
+    "kept AS (SELECT ph.p, ph.h FROM ph JOIN deg ON ph.p = deg.p "
+    "WHERE deg.c <= 5) "
+    "SELECT a.h AS host_a, b.h AS host_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pages "
+    "FROM kept a JOIN kept b ON a.p = b.p AND a.h < b.h "
+    "GROUP BY 1, 2"
+)
+
+
 QUERIES: dict = {
     # --- driver CORRECTNESS window (first 50 keys) -------------------
     # The driver certifies only the first 50 entries per round.  Round 6
@@ -4270,7 +4374,10 @@ QUERIES: dict = {
     "table_stats": (q_table_stats, SQL_TABLE_STATS),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "fk_checks": (q_fk_checks, SQL_FK_CHECKS),
-    # new round-6 gates go here (inside the 50-row window) ------------
+    # new round-6 gates (inside the 50-row window) --------------------
+    "host_graph": (q_host_graph, SQL_HOST_GRAPH),
+    "domain_cooccur": (q_domain_cooccur, SQL_DOMAIN_COOCCUR),
+    "degree_census": (q_degree_census, SQL_DEGREE_CENSUS),
     # regression sentinels (driver-certified every round) -------------
     "uri_counts": (q_uri_counts, SQL_URI_COUNTS),
     "delta_merge": (q_delta_merge, SQL_DELTA_MERGE),
