@@ -117,7 +117,7 @@ MATS = ("local", "local_lazy", "cadence2", "cadence2_lazy")
 def main():
     args = sys.argv[1:]
     quick, job, mat, pairs = False, "pagerank", "local_lazy", 4
-    edges_override = None
+    edges_override, base = None, 1
     i = 0
     while i < len(args):
         a = args[i]
@@ -135,6 +135,17 @@ def main():
         elif a == "--edges" and i + 1 < len(args):
             i += 1
             edges_override = int(args[i])
+        elif a == "--base" and i + 1 < len(args):
+            # base executor count: levels are base and 4*base.  base=1
+            # gives the classic 1-vs-4, but the 1-executor level pays
+            # ZERO remote shuffle (everything in one JVM) while 4
+            # executors fetch 3/4 of blocks cross-JVM — an asymmetry no
+            # real N-node -> 4N-node growth has (remote fractions
+            # (N-1)/N vs (4N-1)/4N are nearly equal).  base=2 (2 vs 8)
+            # makes both levels pay remote shuffle and is the fairer
+            # proxy for cluster growth.
+            i += 1
+            base = int(args[i])
         elif a in ("-h", "--help"):
             print(USAGE)
             raise SystemExit(0)
@@ -154,8 +165,8 @@ def main():
         # its cross-JVM run-to-run variance (~15% observed) otherwise
         # dominates the ratio — more samples of the SAME statistic,
         # not a different one
-        a = run_level(1, n_edges, passes, job, mat)
-        b = run_level(4, n_edges, passes * 2, job, mat)
+        a = run_level(base, n_edges, passes, job, mat)
+        b = run_level(base * 4, n_edges, passes * 2, job, mat)
         eff = b["edge_iters_per_sec"] / a["edge_iters_per_sec"] / 4
         out_pairs.append(
             {
@@ -178,6 +189,7 @@ def main():
                 "metric": "graph_scaling_efficiency",
                 "job": job,
                 "mat": mat,
+                "base_executors": base,
                 "n_edges": n_edges,
                 "pairs": out_pairs,
                 "median_efficiency": med,

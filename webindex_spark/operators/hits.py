@@ -33,6 +33,7 @@ companion to `pagerank`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from webindex_spark.operators.materialize import Materializer
 
@@ -73,11 +74,13 @@ def hits(
     # granules are 1-row aggregates CROSS-JOINED back (Spark broadcasts
     # them) instead of driver .first() scalars — no driver round-trips,
     # no extra job scheduling (measured: the 24-job collect form spent
-    # its time on job overhead, not data).  Within an iteration the
-    # un-checkpointed a/ar subtrees are re-evaluated a handful of times
-    # over the checkpointed inputs — vocabulary-sized joins, cheaper
-    # than materialization barriers.
+    # its time on job overhead, not data).  a_raw/h_raw feed BOTH their
+    # granule aggregate and the normalized vector, so each is persisted
+    # (lazy cache — the granule's broadcast job fills it, every later
+    # consumer reads it) instead of being re-joined 2-3x per iteration;
+    # all pins are released before returning.
     gran = f"greatest(CAST(1 AS BIGINT), coalesce(sum(raw), 0) div {scale}) AS g"
+    pinned = []
     a = None
     for _ in range(iterations):
         a_raw = (
@@ -85,7 +88,9 @@ def hits(
             .select(F.col("dst").alias("id"), F.col("h").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("raw"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pinned.append(a_raw)
         a = a_raw.crossJoin(F.broadcast(a_raw.agg(F.expr(gran)))).select(
             "id", F.expr("raw div g").cast("long").alias("a")
         )
@@ -94,13 +99,20 @@ def hits(
             .select(F.col("src").alias("id"), F.col("a").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("raw"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pinned.append(h_raw)
         h = mat(
             h_raw.crossJoin(F.broadcast(h_raw.agg(F.expr(gran))))
             .select("id", F.expr("raw div g").cast("long").alias("h"))
         )
 
     h = mat.finish(h)
+    # release the per-iteration caches: h is checkpointed (self-
+    # contained) and the final a recomputes its one vocabulary-sized
+    # join from the checkpointed adj/h if the caller materializes later
+    for p in pinned:
+        p.unpersist(blocking=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -107,13 +107,20 @@ def domain_cooccur(
     O(out_degree^2) per page, and the cap bounds it at max_out^2 while
     a typical page contributes far less.  The exclusion is an explicit,
     deterministic filter — the same census is reproducible on any
-    engine."""
-    ph = edges.select(page_col, host_col).distinct()
-    deg = ph.groupBy(page_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__out")
-    )
+    engine.
+
+    Plan shape: the out-degree comes from a window count over the same
+    page partitioning the self-join needs (not a separate aggregate +
+    join), so both self-join sides reuse ONE exchange of the deduped
+    (page, host) pairs; only the final pair rollup shuffles again."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(page_col)
     kept = (
-        ph.join(deg.where(F.col("__out") <= max_out), page_col)
+        edges.select(page_col, host_col)
+        .distinct()
+        .withColumn("__out", F.count(F.lit(1)).over(w))
+        .where(F.col("__out") <= max_out)
         .select(page_col, host_col)
     )
     a = kept.select(F.col(page_col).alias("__p"), F.col(host_col).alias("host_a"))
