@@ -42,7 +42,12 @@ from webindex_spark.operators.materialize import Materializer
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    """Connect every neighbor v > u to m = min(N(u) ∪ {u}).
+
+    No trailing ``distinct()``: the only consumer is ``_small_star``,
+    whose orientation step dedups anyway — dropping it removes one
+    full exchange per round (duplicates ride one existing exchange
+    instead of paying their own)."""
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("_m")
@@ -51,7 +56,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
-        .distinct()
     )
 
 
