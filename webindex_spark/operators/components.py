@@ -47,8 +47,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     No trailing ``distinct()``: the only consumer is ``_small_star``,
     whose orientation step dedups anyway — dropping it removes one
     full exchange per round (duplicates ride one existing exchange
-    instead of paying their own)."""
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    instead of paying their own).
+
+    ONE exchange: ``sym`` is hash-partitioned on ``src`` once; the
+    min-neighbor aggregate and the neighbor⋈mins join both reuse that
+    partitioning (subset-key distribution), so neither pays its own
+    shuffle — the adj-prepartition trick that cleared pagerank's
+    scaling bar, applied per star round."""
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition("src")
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("_m")
     )
@@ -60,14 +68,20 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Orient edges (a=max, b=min); connect N(a) ∪ {a} to m = min(N(a))."""
+    """Orient edges (a=max, b=min); connect N(a) ∪ {a} to m = min(N(a)).
+
+    TWO exchanges: orientation repartitions on the star center once
+    (dedup, min-aggregate and join all reuse it); only the final
+    projection to (v, _m) — keyed by a different column — pays the
+    second."""
     oriented = (
         e.select(
             F.greatest("src", "dst").alias("src"),
             F.least("src", "dst").alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
     )
     mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
     nbrs = oriented.join(mins, "src").select(

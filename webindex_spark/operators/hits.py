@@ -33,7 +33,6 @@ companion to `pagerank`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from webindex_spark.operators.materialize import Materializer
 
@@ -69,61 +68,47 @@ def hits(
         force=True,
     )
 
-    # per iteration: ONE materialization job (the end-of-iteration h
-    # checkpoint, which truncates lineage like pagerank).  The L1
-    # granules are 1-row aggregates CROSS-JOINED back (Spark broadcasts
-    # them) instead of driver .first() scalars — no driver round-trips,
-    # no extra job scheduling (measured: the 24-job collect form spent
-    # its time on job overhead, not data).  a_raw/h_raw feed BOTH their
-    # granule aggregate and the normalized vector, so each is persisted
-    # (lazy cache — the granule's broadcast job fills it, every later
-    # consumer reads it) instead of being re-joined 2-3x per iteration;
-    # all pins are released before returning.
+    # per iteration: each half-step's raw vector feeds BOTH its L1
+    # granule aggregate and the normalized vector, so it is cut through
+    # the materializer (lazy localCheckpoint by default: computed once
+    # at the caller's first action, cached, lineage truncated) — a
+    # plain persist() released before return was silently recomputed
+    # 2-3x per iteration under the lazy backend because no job ever ran
+    # inside the loop to fill it.  The L1 granules are 1-row aggregates
+    # CROSS-JOINED back (Spark broadcasts them) instead of driver
+    # .first() scalars — no driver round-trips, no extra job scheduling
+    # (measured: the 24-job collect form spent its time on job
+    # overhead, not data).
     gran = f"greatest(CAST(1 AS BIGINT), coalesce(sum(raw), 0) div {scale}) AS g"
-    pinned = []
     a = None
     for _ in range(iterations):
-        a_raw = (
+        a_raw = mat(
             adj.join(h, adj.src == h.id)
             .select(F.col("dst").alias("id"), F.col("h").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("raw"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pinned.append(a_raw)
         a = a_raw.crossJoin(F.broadcast(a_raw.agg(F.expr(gran)))).select(
             "id", F.expr("raw div g").cast("long").alias("a")
         )
-        h_raw = (
+        h_raw = mat(
             adj.join(a, adj.dst == a.id)
             .select(F.col("src").alias("id"), F.col("a").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("raw"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pinned.append(h_raw)
         h = mat(
             h_raw.crossJoin(F.broadcast(h_raw.agg(F.expr(gran))))
             .select("id", F.expr("raw div g").cast("long").alias("h"))
         )
 
     h = mat.finish(h)
-    # release the per-iteration caches: h is checkpointed (self-
-    # contained) and the final a recomputes its one vocabulary-sized
-    # join from the checkpointed adj/h if the caller materializes later
-    for p in pinned:
-        p.unpersist(blocking=False)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    return (
-        nodes.join(h, "id", "left")
-        .join(a, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
-            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
-        )
+    # h covers every node with out-edges, a every node with in-edges;
+    # their full outer join is exactly srcs ∪ dsts — the node set —
+    # without recomputing the edge derivation for a separate distinct
+    # (the old nodes.join(h).join(a) re-ran the upstream scan + join)
+    return h.join(a, "id", "full_outer").select(
+        "id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+        F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
     )

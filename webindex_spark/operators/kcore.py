@@ -34,6 +34,7 @@ def kcore_peel(
     src: str = "src",
     dst: str = "dst",
     materialize: str | Materializer = "local_lazy",
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Peel nodes of degree < ``k`` for ``rounds`` rounds over the
     undirected simple graph.  Returns ``(id, degree, in_core,
@@ -46,7 +47,13 @@ def kcore_peel(
     the loop's only driver data is the per-round edge-count scalar, and
     every round strictly shrinks the edge set, so termination is
     guaranteed in ≤ |E| rounds and in practice a handful).
-    ``materialize`` selects the lineage backend (materialize.py)."""
+    ``materialize`` selects the lineage backend (materialize.py).
+
+    ``broadcast_nodes=True`` ships the per-round survivor set (one id
+    per surviving node) as a broadcast, so the edge table keeps its
+    partitioning across every round and only the degree aggregate
+    shuffles; pass ``False`` on graphs whose node set cannot be
+    broadcast (10^9+ nodes) to fall back to shuffle joins."""
     mat = Materializer.of(materialize)
     e0 = mat(
         edges.select(
@@ -66,6 +73,9 @@ def kcore_peel(
     e = e0
     converged = False
     r = 0
+    n_edges: int | None = None  # |e| carried across rounds: each round
+    # compares |e2| to the PREVIOUS round's count instead of re-running
+    # a count job over the unchanged side (one scalar job per round)
     while rounds is None or r < rounds:
         r += 1
         deg = (
@@ -75,17 +85,20 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
         keep = mat(deg.where(F.col("d") >= k).select("id"))
+        bkeep = F.broadcast(keep) if broadcast_nodes else keep
         e2 = mat(
-            e.join(keep.withColumnRenamed("id", "a"), "a")
-            .join(keep.withColumnRenamed("id", "b"), "b")
+            e.join(bkeep.withColumnRenamed("id", "a"), "a")
+            .join(bkeep.withColumnRenamed("id", "b"), "b")
             .select("a", "b")
         )
-        # one scalar per round: did the edge set shrink?
-        if e2.count() == e.count():
-            e = e2
+        if n_edges is None:
+            n_edges = e.count()
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
             converged = True
             break
-        e = e2
+        n_edges = n2
     e = mat.finish(e)
     deg = (
         e.select(F.col("a").alias("id"))

@@ -78,6 +78,24 @@ def page_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(_src_uri_col().alias("uri"))
 
 
+def link_edge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped integer key triple behind the link graph:
+    ``(o_custkey, o_orderkey, l_partkey)`` with one row per distinct
+    (orderkey, partkey) pair.  ``o_orderkey`` determines the source uri
+    (custkey is functionally dependent on it) and ``l_partkey`` the
+    destination uri, both INJECTIVELY — so any count/structure query
+    over the string graph can run on these longs instead (guide §8:
+    shuffle a lightweight proxy, build strings only where the output
+    needs them)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "o_orderkey", "l_partkey")
+        .dropDuplicates(["o_orderkey", "l_partkey"])
+    )
+
+
 def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (src_uri, dst_uri) link edges — the exploded form of the
     pages' outbound_links arrays.  The orders⋈lineitem join is a plain
@@ -89,14 +107,7 @@ def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     src uri, partkey the dst) BEFORE the uri strings are built: deduping
     two longs shuffles ~4× fewer bytes than deduping two ~30-char strings,
     and the string concat then runs once per surviving edge."""
-    orders = _t(spark, sf_dir, "orders")
-    lineitem = _t(spark, sf_dir, "lineitem")
-    keys = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select("o_custkey", "o_orderkey", "l_partkey")
-        .dropDuplicates(["o_orderkey", "l_partkey"])
-    )
-    return keys.select(
+    return link_edge_keys(spark, sf_dir).select(
         _src_uri_col().alias("src_uri"), _dst_uri_col().alias("dst_uri")
     )
 
@@ -2825,8 +2836,13 @@ def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     from webindex_spark.operators.butterflies import butterfly_counts
 
+    # count-only output: run the census on the integer key pair (the
+    # uri strings are injective images of orderkey/partkey, so every
+    # group, degree and pair count is identical — guide §8 proxy rule)
+    # and never build or shuffle a single uri string
     return butterfly_counts(
-        link_edges(spark, sf_dir), src="src_uri", dst="dst_uri", max_degree=45
+        link_edge_keys(spark, sf_dir),
+        src="o_orderkey", dst="l_partkey", max_degree=45,
     )
 
 
@@ -3648,7 +3664,9 @@ def q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached nodes), never the whole distance table."""
     from webindex_spark.operators.kcore import hop_distances
 
-    e = link_edges(spark, sf_dir)
+    # one lazy cut shared by the edge set and the seed derivation: the
+    # orders⋈lineitem edge join runs once, not once per consumer
+    e = link_edges(spark, sf_dir).localCheckpoint(eager=False)
     seeds = (
         e.where(F.col("src_uri").startswith(_BFS_SEED_PREFIX))
         .select(F.col("src_uri").alias("id"))
@@ -4202,13 +4220,16 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    s = lambda c: c.cast("string")  # noqa: E731
+    # count-only output: 'n'||k is a bijection of k (mod 2003), and the
+    # census is invariant under any node bijection (the orientation
+    # tie-break only needs SOME strict total order) — so the census
+    # runs on the raw ints and never builds the node-name strings
     e = (
         li.where(F.pmod(F.col("l_orderkey"), F.lit(4)) == 0)
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("n"), s(F.pmod(F.col("o_custkey"), F.lit(2003)))).alias("src"),
-            F.concat(F.lit("n"), s(F.pmod(F.col("l_partkey"), F.lit(2003)))).alias("dst"),
+            F.pmod(F.col("o_custkey"), F.lit(2003)).alias("src"),
+            F.pmod(F.col("l_partkey"), F.lit(2003)).alias("dst"),
         )
     )
     return triangle_census(e, "src", "dst")
