@@ -58,7 +58,14 @@ def hits(
     """
     mat = Materializer.of(materialize)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    adj = mat(e.repartition("src"), force=True)
+    # pinned static edge list (persist keeps the repartition's layout —
+    # a checkpoint would report UnknownPartitioning and re-shuffle the
+    # edges every half step; materialize.Materializer.pin): a_raw joins
+    # it exchange-free on src; h_raw joins on dst and pays the one
+    # remaining edge shuffle per iteration (a second dst-partitioned
+    # pin was measured slower — cache pressure beat the saved exchange)
+    adj = mat.pin(e.repartition("src"))
+    adj_d = adj
     srcs = adj.select(F.col("src").alias("id")).distinct()
     n_src = srcs.count()
     h = mat(
@@ -92,7 +99,7 @@ def hits(
             "id", F.expr("raw div g").cast("long").alias("a")
         )
         h_raw = mat(
-            adj.join(a, adj.dst == a.id)
+            adj_d.join(a, adj_d.dst == a.id)
             .select(F.col("src").alias("id"), F.col("a").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("raw"))

@@ -55,20 +55,18 @@ def kcore_peel(
     shuffles; pass ``False`` on graphs whose node set cannot be
     broadcast (10^9+ nodes) to fall back to shuffle joins."""
     mat = Materializer.of(materialize)
-    e0 = mat(
+    e0 = mat.pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .where(F.col("a") != F.col("b"))
-        .distinct(),
-        force=True,
+        .distinct()
     )
-    all_nodes = mat(
+    all_nodes = mat.pin(
         e0.select(F.col("a").alias("id"))
         .union(e0.select(F.col("b").alias("id")))
-        .distinct(),
-        force=True,
+        .distinct()
     )
     e = e0
     converged = False
@@ -140,7 +138,9 @@ def hop_distances(
         e = e.union(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-    e = mat(e.distinct().repartition("u"), force=True)
+    # pin (persist) the static edge table: a checkpoint would erase the
+    # repartition's layout and re-shuffle the edges every round
+    e = mat.pin(e.distinct().repartition("u"))
     dist = mat(
         seeds.toDF("id").distinct()
         .select("id", F.lit(0).cast("long").alias("dist")),

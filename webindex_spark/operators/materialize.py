@@ -97,6 +97,31 @@ class Materializer:
         df.write.mode("overwrite").parquet(snap)
         return df.sparkSession.read.parquet(snap)
 
+    def pin(self, df: DataFrame) -> DataFrame:
+        """Cache a STATIC pre-loop frame (adjacency, node table) while
+        PRESERVING its physical layout.
+
+        ``localCheckpoint`` — eager or lazy — replaces the plan with an
+        ``ExistingRDD`` scan that reports ``UnknownPartitioning``, so a
+        checkpointed adjacency that was ``repartition()``-ed on the join
+        key is re-shuffled by EVERY iteration's join anyway (measured:
+        the scan node's ``UnknownPartitioning(0)`` in the plan, one
+        edge-list exchange per iteration).  ``persist()`` keeps the
+        logical plan — and with it the repartition's output partitioning
+        — while still computing the frame once, so per-iteration joins
+        against it shuffle only the evolving side.  The parquet backend
+        keeps its durable round-trip (scan partitioning is lost there;
+        durability is that mode's contract).
+
+        Pinned frames are NOT released by :meth:`finish`: unlike cadence
+        intermediates they feed the caller's lazily-consumed result, and
+        unpersisting them before the caller's first action would force a
+        full recompute per consumer.  The context cleaner reclaims them
+        once the result is garbage-collected."""
+        if self.mode == "parquet":
+            return self._cut(df)
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
     def __call__(self, df: DataFrame, *, force: bool = False) -> DataFrame:
         """Cut lineage if this call lands on the cadence (or ``force``);
         otherwise persist and return the uncut frame.  Forced cuts (the

@@ -86,15 +86,17 @@ def pagerank(
         .join(outdeg, "id", "left")
         .select("id", F.col("outdeg").isNull().alias("dangling"))
     )
-    nodes = mat(nodes, force=True)
+    # pin (persist), don't checkpoint: a checkpoint scan reports
+    # UnknownPartitioning, which would silently re-shuffle the static
+    # side inside every iteration's join (materialize.Materializer.pin)
+    nodes = mat.pin(nodes)
     n = nodes.count()
     # static per-edge join state: (src, dst, outdeg), partitioned by src
     # once so the per-iteration rank join shuffles only the rank table
-    adj = mat(
+    adj = mat.pin(
         e.join(outdeg, e.src == outdeg.id)
         .select("src", "dst", "outdeg")
-        .repartition("src"),
-        force=True,
+        .repartition("src")
     )
     base = ((100 - damping) * scale) // (100 * n)
     ranks = nodes.select(

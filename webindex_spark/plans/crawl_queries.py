@@ -31,6 +31,9 @@ on both sides (DuckDB's SUM would otherwise return HUGEINT/INT128).
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1183,6 +1186,29 @@ def _stream_batches(q) -> int:
     return int(p["batchId"]) + 1 if p else 0
 
 
+@contextmanager
+def _stream_conf(spark: SparkSession):
+    """Plan the streaming replay gates at a reduced shuffle/state
+    parallelism (guide §2.2 applied to micro-batches): every stateful
+    operator commits one state-store delta file per PARTITION per
+    micro-batch regardless of data volume, so a replay whose whole
+    state is a few thousand keys pays O(partitions × stores × batches)
+    of pure scheduler/commit fixed cost.  The partition count is pinned
+    at the query's FIRST start via spark.sql.shuffle.partitions, so it
+    is a planning decision, not a data-size one.  Parameterized for
+    clusters via SPARK_GRAFT_STREAM_PARTITIONS (default 8): raise it
+    when per-key streaming state is actually large enough to need the
+    spread.  Exact results are partitioning-independent (integer sums,
+    per-key session merges, per-key dedup)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_stream_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7/T8 end-to-end under the oracle: the Structured Streaming twin
     (streaming/page_stream.py — file source -> foreachBatch -> the
@@ -1248,11 +1274,12 @@ def q_stream_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.path.join(input_dir, f"batch-{b}-{i}.json"),
                 )
         cat = Catalog(os.path.join(root, "cat"))
-        q = start_page_stream(
-            spark, input_dir, cat, os.path.join(root, "ckpt"),
-            available_now=True, max_files_per_trigger=1,
-        )
-        q.awaitTermination()
+        with _stream_conf(spark):
+            q = start_page_stream(
+                spark, input_dir, cat, os.path.join(root, "ckpt"),
+                available_now=True, max_files_per_trigger=1,
+            )
+            q.awaitTermination()
         # pin the result off the temp dir so it can be reclaimed before
         # the caller materializes the frame
         out = (
@@ -1338,20 +1365,21 @@ def q_stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst = os.path.join(input_dir, f"batch-{i}.parquet")
             os.replace(os.path.join(outd, part), dst)
             os.utime(dst, (now + i, now + i))
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(input_dir)
-        )
-        q = (
-            windowed_rollup(stream, window="1 hour", watermark="2 hours")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_conf(spark):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(input_dir)
+            )
+            q = (
+                windowed_rollup(stream, window="1 hour", watermark="2 hours")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = (
             spark.table(name)
             .select(
@@ -2604,20 +2632,21 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst = os.path.join(input_dir, f"batch-{i}.parquet")
             os.replace(os.path.join(outd, part), dst)
             os.utime(dst, (now + i, now + i))
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(input_dir)
-        )
-        q = (
-            session_rollup(stream, gap="30 minutes", watermark="2 hours")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_conf(spark):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(input_dir)
+            )
+            q = (
+                session_rollup(stream, gap="30 minutes", watermark="2 hours")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         w = Window.partitionBy("user_id").orderBy("first_ts")
         out = (
             spark.table(name)
@@ -2963,20 +2992,23 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst = os.path.join(input_dir, f"batch-{i}.parquet")
             os.replace(os.path.join(outd, part), dst)
             os.utime(dst, (now + i, now + i))
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(input_dir)
-        )
-        q = (
-            purchase_view_join(stream, lookback="1 hour", watermark="2 hours")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_conf(spark):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(input_dir)
+            )
+            q = (
+                purchase_view_join(
+                    stream, lookback="1 hour", watermark="2 hours"
+                )
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = (
             spark.table(name)
             .groupBy("user_id", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
@@ -3054,20 +3086,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.replace(srcf, dup)
             os.utime(dup, (now + seq, now + seq))
             seq += 1
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(input_dir)
-        )
-        q = (
-            dedup_stream(stream, keys=["event_id"], watermark="30 days")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_conf(spark):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(input_dir)
+            )
+            q = (
+                dedup_stream(stream, keys=["event_id"], watermark="30 days")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = (
             spark.table(name)
             .groupBy("event_type")
