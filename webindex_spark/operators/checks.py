@@ -33,15 +33,26 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     approx_count_distinct at 100 TB where ±2% is fine — same plan
     shape, noted here rather than silently approximated."""
     cols = columns or df.columns
+    # TWO aggregate passes instead of one, deliberately: mixing the
+    # multi-column countDistincts (an Expand + grouped aggregate) with
+    # min/max over STRING columns forces the whole expanded stream
+    # through SortAggregate (string-buffered min/max is not hash-agg
+    # capable), i.e. a full sort of rows × (n_cols+1) on a 7-part key.
+    # Split, the distinct pass stays a pure HashAggregate over the
+    # expanded keys and the min/max/null pass is a single-group
+    # aggregate that needs no sort at all; the two 1-row results
+    # cross-join for free.
+    nd = df.agg(
+        *[F.countDistinct(F.col(c)).alias(f"__nd_{c}") for c in cols]
+    )
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
-    wide = df.agg(*aggs)
+    wide = df.agg(*aggs).crossJoin(nd)
     rows = F.array(
         *[
             F.struct(

@@ -109,25 +109,30 @@ def domain_cooccur(
     deterministic filter — the same census is reproducible on any
     engine.
 
-    Plan shape: the out-degree comes from a window count over the same
-    page partitioning the self-join needs (not a separate aggregate +
-    join), so both self-join sides reuse ONE exchange of the deduped
-    (page, host) pairs; only the final pair rollup shuffles again."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(page_col)
-    kept = (
-        edges.select(page_col, host_col)
-        .distinct()
-        .withColumn("__out", F.count(F.lit(1)).over(w))
-        .where(F.col("__out") <= max_out)
-        .select(page_col, host_col)
+    Plan shape: ONE corpus shuffle — ``collect_set`` per page dedups
+    and gathers the host list in a single aggregate (replacing the old
+    distinct + window-count + self-join chain, which paid the page
+    exchange twice and re-joined the deduped pairs with themselves);
+    the unordered pairs are expanded JVM-side from each page's sorted
+    host array (the butterflies idiom, bounded by the max_out guard),
+    and only the pair rollup shuffles again."""
+    adj = edges.groupBy(F.col(page_col).alias("__p")).agg(
+        F.array_sort(F.collect_set(F.col(host_col))).alias("hs")
     )
-    a = kept.select(F.col(page_col).alias("__p"), F.col(host_col).alias("host_a"))
-    b = kept.select(F.col(page_col).alias("__p"), F.col(host_col).alias("host_b"))
+    kept = adj.where(F.size("hs") <= max_out)
+    hs = F.col("hs")
+    combos = F.flatten(
+        F.transform(
+            hs,
+            lambda x, i: F.transform(
+                F.slice(hs, i + F.lit(2), F.size(hs) - i - 1),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "__p")
-        .where(F.col("host_a") < F.col("host_b"))
-        .groupBy("host_a", "host_b")
+        kept.where(F.size("hs") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
     )

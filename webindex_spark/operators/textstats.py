@@ -74,26 +74,48 @@ def exploded_ngram_hashes(
     short-document gram (< n tokens).  The oracle-checked queries pass
     ``portable_hash.phash62`` / ``portable_hash.compose62`` so DuckDB
     recomputes identical values from the same per-token hash list.
-    """
-    from pyspark.sql import Window
 
+    Plan shape: the gram windows are composed IN-ROW from the per-doc
+    token-hash array (``transform`` + ``try_element_at`` null-tailing)
+    and exploded once — zero shuffles.  The earlier formulation
+    (posexplode the tokens, then ``lead()`` windows per doc) paid a
+    full exchange + sort of the token stream just to see the next n-1
+    hashes, which at corpus scale is a shuffle of every token.
+    """
     token_hash_fn = token_hash_fn or F.xxhash64
     compose_fn = compose_fn or (lambda cols: F.xxhash64(*cols))
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: F.length(t) > 0,
     )
-    t = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
-    ).select("id", "pos", token_hash_fn(F.col("tok")).alias("th"))
-    w = Window.partitionBy("id").orderBy("pos")
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("id"))
-    parts = [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, n)]
-    g = t.select("id", "pos", compose_fn(parts).alias("gh"), cnt.alias("__cnt"))
-    return g.where(
-        (F.col("pos") <= F.col("__cnt") - n)
-        | ((F.col("pos") == 0) & (F.col("__cnt") < n))
-    ).drop("__cnt")
+    # the token-hash array is materialized in its OWN projection and
+    # referenced by name below: inlining it into the gram lambda would
+    # re-evaluate the whole per-token hash transform once per
+    # try_element_at (n per gram — measured quadratic blowup)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: token_hash_fn(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    n_t = F.size(th)
+    # gram count: cnt-n+1 full windows, else one clamped whole-doc gram
+    # (empty docs contribute none)
+    npos = F.when(n_t >= n, n_t - n + 1).otherwise(F.least(n_t, F.lit(1)))
+    idx = F.when(npos > 0, F.sequence(F.lit(0), npos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            compose_fn(
+                [F.try_element_at(th, i + j + 1) for j in range(n)]
+            ).alias("gh"),
+        ),
+    )
+    return base.select("id", F.explode(grams).alias("g")).select(
+        "id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
 
 
 ENGLISH_STOPWORDS = [
