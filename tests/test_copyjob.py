@@ -91,3 +91,46 @@ def test_copy_from_paths_range(spark, tmp_path):
     manifest = distributed_copy(spark, sel, dest)
     got = sorted(os.path.basename(r["dest"]) for r in manifest.collect())
     assert got == ["file_01.warc", "file_02.warc", "file_03.warc"]
+
+
+def test_copy_duplicate_basenames_fail_fast(spark, tmp_path):
+    """Two sources sharing a basename would race on one destination
+    (last writer wins with both manifest rows claiming success) — the
+    job must refuse before launching."""
+    import pytest
+
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    os.makedirs(a_dir)
+    os.makedirs(b_dir)
+    (a_dir / "part-00000.warc").write_bytes(b"alpha")
+    (b_dir / "part-00000.warc").write_bytes(b"bravo")
+    dest = str(tmp_path / "dest")
+    with pytest.raises(ValueError, match="part-00000.warc"):
+        distributed_copy(
+            spark,
+            [str(a_dir / "part-00000.warc"), str(b_dir / "part-00000.warc")],
+            dest,
+        )
+
+
+def test_copy_resume_detects_same_size_corruption(spark, tmp_path):
+    """A same-size-but-different-content destination must not be
+    'skipped' with a self-certifying manifest hash: the skip path hashes
+    the SOURCE, detects the mismatch, and recopies as 'fixed'."""
+    paths = _mk_sources(tmp_path, n=2)
+    dest = str(tmp_path / "dest")
+    distributed_copy(spark, paths, dest).collect()
+    victim = os.path.join(dest, os.path.basename(paths[1]))
+    size = os.path.getsize(victim)
+    with open(victim, "wb") as f:  # same size, different bytes
+        f.write(b"\xff" * size)
+    manifest = distributed_copy(spark, paths, dest)
+    rows = {os.path.basename(r["src"]): r for r in manifest.collect()}
+    assert rows[os.path.basename(paths[1])]["status"] == "fixed"
+    assert rows[os.path.basename(paths[0])]["status"] == "skipped"
+    with open(paths[1], "rb") as f:
+        want = f.read()
+    with open(victim, "rb") as f:
+        assert f.read() == want
+    # manifest hashes now verify clean end to end
+    assert verify_copy(spark, manifest).count() == 0

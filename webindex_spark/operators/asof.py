@@ -97,6 +97,14 @@ def interval_join(
     microseconds, both ends inclusive).  Right columns come back
     ``prefix``-renamed.
 
+    CONTRACT: timestamps must be at or after the epoch (1970-01-01).
+    Bucket ids are computed with SQL integer ``div``, which truncates
+    toward zero — identical to floor division only for non-negative
+    microseconds.  A pre-1970 ts (negative ``unix_micros``) would land
+    in the wrong bucket and silently miss matches; shift such data into
+    the non-negative range before calling, or widen the bucket math to
+    ``(x - pmod(x, w)) / w``.
+
     Spark plans a naive ``BETWEEN`` theta join as
     BroadcastNestedLoopJoin — quadratic per key group and a
     driver-memory bomb at scale.  This is the standard bucketization

@@ -49,11 +49,15 @@ def _large_star(e: DataFrame) -> DataFrame:
     full exchange per round (duplicates ride one existing exchange
     instead of paying their own).
 
-    ONE exchange: ``sym`` is hash-partitioned on ``src`` once; the
-    min-neighbor aggregate and the neighbor⋈mins join both reuse that
-    partitioning (subset-key distribution), so neither pays its own
-    shuffle — the adj-prepartition trick that cleared pagerank's
-    scaling bar, applied per star round."""
+    TWO runtime exchanges (executed-plan evidence in
+    plans/r07/components_round_exec_after.txt): ``sym`` is
+    hash-partitioned on ``src`` for both the min-neighbor aggregate and
+    the neighbors⋈mins join.  Catalyst's filter pushdown forks the two
+    branches (the join's ``dst > src`` lands BELOW the join-side
+    exchange, halving what it ships; ``isnotnull`` lands below the
+    mins side), so the exchanges are not literally reused — but the
+    join side now ships |E| instead of 2|E| rows, and the r6 shape's
+    extra join-side re-shuffle is gone."""
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).repartition("src")
@@ -70,8 +74,9 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges (a=max, b=min); connect N(a) ∪ {a} to m = min(N(a)).
 
-    TWO exchanges: orientation repartitions on the star center once
-    (dedup, min-aggregate and join all reuse it); only the final
+    TWO runtime exchanges: orientation repartitions on the star center
+    once and the executed plan reuses that exchange for the dedup, the
+    min-aggregate AND the join (ReusedExchange nodes); only the final
     projection to (v, _m) — keyed by a different column — pays the
     second."""
     oriented = (

@@ -69,9 +69,19 @@ def _copy_one(src: str, dest: str) -> tuple[str, int, str]:
     atomic rename; returns (sha256, bytes, status)."""
     if os.path.exists(dest):
         if os.path.getsize(dest) == os.path.getsize(src):
-            sha, n = _sha256_file(dest)
-            return sha, n, "skipped"
-        status = "fixed"  # size mismatch: a torn write from a killed run
+            # hash BOTH sides on the skip path: recording the dest hash
+            # alone would self-certify (verify_copy re-hashes dest and
+            # compares against… the dest hash), so a same-size but
+            # different-content destination could never be flagged.
+            # The manifest row carries the SOURCE hash; an equal-size
+            # content mismatch is recopied as 'fixed' like a torn write.
+            sha_src, n = _sha256_file(src)
+            sha_dest, _ = _sha256_file(dest)
+            if sha_src == sha_dest:
+                return sha_src, n, "skipped"
+            status = "fixed"  # same size, different bytes
+        else:
+            status = "fixed"  # size mismatch: a torn write from a killed run
     else:
         status = "copied"
     tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
@@ -107,6 +117,29 @@ def distributed_copy(
         pdf = paths.toDF("src")
     else:
         pdf = spark.createDataFrame([(p,) for p in paths], "src string")
+    # destinations are dest_dir/basename(src): two sources sharing a
+    # basename would race on one destination across concurrent tasks
+    # (last writer wins, both manifest rows claiming success) — fail
+    # fast BEFORE launching the job.  One tiny aggregate over the paths
+    # list (driver-side planning cost, not per-file work).
+    import pyspark.sql.functions as F
+
+    dup = (
+        pdf.groupBy(
+            F.element_at(F.split(F.col("src"), "/"), -1).alias("__base")
+        )
+        .count()
+        .where(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        names = ", ".join(r["__base"] for r in dup)
+        raise ValueError(
+            f"distributed_copy: duplicate source basenames would collide "
+            f"under {dest_dir!r}: {names} — copy from unambiguous paths "
+            "or stage colliding prefixes into separate dest dirs"
+        )
     n_parts = parallelism or spark.sparkContext.defaultParallelism
 
     def copy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -32,6 +32,8 @@ def host_graph(
     edges: DataFrame,
     src_host: str = "src_host",
     dst_host: str = "dst_host",
+    src_uri: str = "src_uri",
+    dst_uri: str = "dst_uri",
 ) -> DataFrame:
     """Contract a page-level edge list (pre-projected to host columns)
     to the weighted host graph: one row per (src_host, dst_host) with
@@ -46,8 +48,8 @@ def host_graph(
         .groupBy(src_host, dst_host)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_links"),
-            F.countDistinct("src_uri").cast("long").alias("n_src_pages"),
-            F.countDistinct("dst_uri").cast("long").alias("n_dst_pages"),
+            F.countDistinct(src_uri).cast("long").alias("n_src_pages"),
+            F.countDistinct(dst_uri).cast("long").alias("n_dst_pages"),
         )
     )
 
