@@ -244,7 +244,7 @@ def distributed_cumsum(
     d = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("__pid").orderBy(order_col)
     local = d.withColumn("__local", F.sum(F.col(value_col)).over(w_local))

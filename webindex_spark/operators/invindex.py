@@ -53,7 +53,7 @@ def prefix_suggestions(
         docs.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)  # vocab-sized; 2 downstream branches
+        .localCheckpoint(eager=False)  # vocab-sized; 2 downstream branches
     )
     pref = tf.select(
         "term",
@@ -118,7 +118,7 @@ def fuzzy_term_pairs(
     )
     terms = (
         docs.select(F.explode(toks).alias("term")).distinct()
-        .localCheckpoint(eager=True)  # vocab-sized; variants + verify
+        .localCheckpoint(eager=False)  # vocab-sized; variants + verify
     )
     # variants: the term itself (deletion at "no position") plus each
     # single-character deletion — concat of the prefix and suffix
@@ -190,7 +190,7 @@ def inverted_postings(
     tf = (
         t.groupBy("term", "id")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     stats = tf.groupBy("term").agg(

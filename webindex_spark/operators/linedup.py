@@ -62,7 +62,7 @@ def corpus_line_dedup(
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lh = F.md5(F.col("line")).alias("lh")
     dup = (
         lines.where(F.length("line") >= min_chars)
@@ -131,7 +131,7 @@ def window_dedup_cut(
     grams = exploded_ngram_hashes(
         docs, id_col, text_col, n=w,
         token_hash_fn=token_hash_fn, compose_fn=compose_fn,
-    ).localCheckpoint(eager=True)  # dictionary + cut join (measured ~30%)
+    ).localCheckpoint(eager=False)  # dictionary + cut join (measured ~30%)
     dup = (
         grams.groupBy("gh")
         .agg(
@@ -219,7 +219,7 @@ def window_dedup_stats(
     grams = exploded_ngram_hashes(
         docs, id_col, text_col, n=w,
         token_hash_fn=token_hash_fn, compose_fn=compose_fn,
-    ).localCheckpoint(eager=True)  # dictionary + mark join, one hash pass
+    ).localCheckpoint(eager=False)  # dictionary + mark join, one hash pass
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))

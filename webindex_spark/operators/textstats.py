@@ -339,7 +339,7 @@ def tf_idf_top_terms(
     tf = (
         t.groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_tbl), "term").select(

@@ -35,9 +35,10 @@ def triangle_census(
     ``wedges`` = Σ C(deg, 2) (open + closed paths of length 2) and
     ``global_cc`` = 3·triangles / wedges rounded to 6 digits."""
     # e and deg each feed 3-4 consumers (degree union, orientation
-    # joins, edge/wedge counts) — materialize the compact canonical
-    # tables once instead of letting every consumer re-run the upstream
-    # scan + join + distinct (measured 2.4x on the gated query)
+    # joins, edge/wedge counts) — cut once with LAZY localCheckpoints
+    # (first consumer computes and caches; no dedicated barrier job)
+    # instead of letting every consumer re-run the upstream scan +
+    # join + distinct (measured 2.4x on the gated query)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -45,14 +46,14 @@ def triangle_census(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
@@ -64,7 +65,7 @@ def triangle_census(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dw"),
-    ).localCheckpoint(eager=True)  # adjacency build + closing-edge probe
+    ).localCheckpoint(eager=False)  # adjacency build + closing-edge probe
     adj = oriented.groupBy("u").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("dw").alias("dk"), F.col("w").alias("n")))

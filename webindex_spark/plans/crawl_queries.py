@@ -1137,7 +1137,7 @@ def q_rank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # three consumers (the t/d/p union branches): materialize the counts
     # once instead of re-running the uri_counts aggregation per branch
-    uc = uri_counts_df(spark, sf_dir).localCheckpoint(eager=True)
+    uc = uri_counts_df(spark, sf_dir).localCheckpoint(eager=False)
     return delta_ops._uri_rows(uc, "links_to", "docs")
 
 
@@ -1819,7 +1819,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded_ngram_hashes(docs, "doc_id", "text", 3, ph.phash62, ph.compose62)
         .groupBy(F.col("id"))
         .agg(F.collect_set("gh").alias("ghs"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pair = sets.join(
         sets.select(

@@ -84,12 +84,15 @@ def apply_page_batch(spark: SparkSession, cat: Catalog, pages: DataFrame,
     # (state scanned, never shuffled), every table commits mode="merge"
     # (upsert rows + delete keys — batch-sized writes, never O(state)),
     # index_rows is never even read, and each delta frame feeding both a
-    # slice and a merge is cut with an eager localCheckpoint (which also
-    # cuts the streaming lineage, as before).
+    # slice and a merge is cut with a LAZY localCheckpoint: the first
+    # commit that consumes it materializes and caches it (later
+    # consumers read the cache), the streaming lineage is still cut,
+    # and the four dedicated per-frame barrier jobs the eager form
+    # scheduled per micro-batch disappear.
     from webindex_spark.functions.spark_udfs import uri_rev_domain_col
     from webindex_spark.operators.index_batch import PAGE_SCHEMA
 
-    deltas = pages.withColumn("op", F.lit("put")).localCheckpoint(eager=True)
+    deltas = pages.withColumn("op", F.lit("put")).localCheckpoint(eager=False)
     index_pages_prev = _read_before("index_pages")
     uri_counts_prev = _read_before("uri_counts")
     domain_counts_prev = _read_before("domain_counts")
@@ -100,11 +103,11 @@ def apply_page_batch(spark: SparkSession, cat: Catalog, pages: DataFrame,
     _, uri_deltas, mutations = delta_ops.diff_pages(
         touched(index_pages_prev, deltas, "uri"), deltas
     )
-    uri_deltas = uri_deltas.localCheckpoint(eager=True)
+    uri_deltas = uri_deltas.localCheckpoint(eager=False)
     _, changes = delta_ops.merge_uri_counts(
         touched(uri_counts_prev, uri_deltas, "uri"), uri_deltas
     )
-    changes = changes.localCheckpoint(eager=True)
+    changes = changes.localCheckpoint(eager=False)
     touched_domains = changes.select(
         uri_rev_domain_col("uri").alias("rev_domain")
     ).distinct()
@@ -112,7 +115,7 @@ def apply_page_batch(spark: SparkSession, cat: Catalog, pages: DataFrame,
         touched(domain_counts_prev, touched_domains, "rev_domain"),
         changes, with_changes=True,
     )
-    domain_changes = domain_changes.localCheckpoint(eager=True)
+    domain_changes = domain_changes.localCheckpoint(eager=False)
     inserts, delete_keys = delta_ops.index_row_mutations(
         changes, domain_changes, mutations
     )
