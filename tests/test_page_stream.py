@@ -68,14 +68,16 @@ def test_partial_crash_replay_recovers_all_tables(spark, tmp_path, monkeypatch):
         spark, cat, read_pages_json(spark, str(f_a)), batch_id=0
     )
 
-    # batch 1 dies right after the FIRST table (index_pages) publishes
+    # batch 1's uri_counts commit dies BEFORE publishing while the other
+    # three tables (committed concurrently) publish: the most dangerous
+    # partial state — replay must pin its reads BELOW batch 1 even though
+    # those tables' HEADs already sit AT batch 1
     real_commit = SnapshotTable.commit
 
     def crashing(self, df, **kw):
-        sid = real_commit(self, df, **kw)
-        if self.name == "index_pages":
+        if self.name == "uri_counts" and kw.get("epoch") == 1:
             raise RuntimeError("simulated crash between table commits")
-        return sid
+        return real_commit(self, df, **kw)
 
     monkeypatch.setattr(SnapshotTable, "commit", crashing)
     with pytest.raises(RuntimeError, match="simulated crash"):
