@@ -31,7 +31,9 @@ def test_bucketed_join_is_exchange_free_and_exact(spark, no_broadcast, tmp_path)
         "o_orderkey", "l_partkey", "l_quantity", "o_totalprice"
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan
+    # either shuffle-join strategy is fine (the session prefers shuffled
+    # hash, guide §3.1); the point of bucketing is the NEXT assert
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # the whole point: neither side shuffles (bucketed layout satisfies
     # the join's distribution requirement at read time)
     assert "Exchange hashpartitioning" not in plan, plan

@@ -93,7 +93,11 @@ def test_fused_reuses_single_exchange(spark):
     )
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
 
 
 def test_epoch_schedule_path_two_exchanges(spark):

@@ -41,6 +41,16 @@ def get_spark(
         # pipeline): this is what lets the seen anti-join and the politeness
         # windows share ONE exchange (operators/sched_pipeline.py)
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # let the planner choose shuffled-hash joins when its size checks
+        # pass (guide §3.1/§9): sort-merge pays two full per-partition
+        # sorts that SHJ skips, and AQE's small advisory partitions keep
+        # the per-partition build side bounded.  ABAB-measured on the 20
+        # join-heaviest gates at sf0.1: −7.5% total, triangles −25%
+        # (BENCH/shj_sweep_r07.json).  SPARK_GRAFT_PREFER_SMJ=true
+        # restores the Spark default for memory-tight clusters where a
+        # build-side partition might not fit.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
         # local-mode default (64m) coalesces medium shuffles down to a
         # handful of tasks, capping parallelism; 8m keeps all cores busy at
         # bench scale while still coalescing away empty partitions.  On a
